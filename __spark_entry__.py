@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction query on sf0.001;
+``queries()`` exposes one callable per implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver compares against
+at sf0.01 (row-count + schema + order-insensitive value-hash).
 """
 
 from __future__ import annotations
@@ -12,27 +11,93 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grepai_spark import extract, link, oracles, pipeline
+from grepai_spark.cc import canonical_map
+from grepai_spark.link import alias_similarity_edges
+from grepai_spark.materialize import co_invocation_edges
+from grepai_spark.synth import alias_dict_df, load_transcripts
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG pipeline (extract -> link -> canonicalize ->
+    materialize) over transcripts synthesized from sf0.001."""
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    return pipeline.kg_edges_df(spark, t, alias_dict_df(spark))
+
+
+# --------------------------------------------------------------------------
+# queries: each callable (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_transcripts(spark, sf_dir)
+
+
+def _q_call_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract.call_triples(load_transcripts(spark, sf_dir))
+
+
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract.detect_mentions(
+        load_transcripts(spark, sf_dir), alias_dict_df(spark)
+    )
+
+
+def _q_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract.detect_mentions(
+        load_transcripts(spark, sf_dir), alias_dict_df(spark)
+    )
+    return link.link_mentions_exact(m, alias_dict_df(spark))
+
+
+def _q_alias_sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alias_similarity_edges(alias_dict_df(spark))
+
+
+def _q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = alias_dict_df(spark)
+    return canonical_map(d, alias_similarity_edges(d))
+
+
+def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    return pipeline.kg_edges_df(spark, t, alias_dict_df(spark))
+
+
+def _q_kg_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.kg_vertices_df(spark, alias_dict_df(spark))
+
+
+def _q_co_invocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    calls = extract.call_triples(load_transcripts(spark, sf_dir))
+    return co_invocation_edges(calls)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_synth": _q_transcripts,
+        "call_triples": _q_call_triples,
+        "mentions": _q_mentions,
+        "link_exact": _q_link_exact,
+        "alias_sim_edges": _q_alias_sim_edges,
+        "canonical_map": _q_canonical_map,
+        "kg_edges": _q_kg_edges,
+        "kg_vertices": _q_kg_vertices,
+        "co_invocation": _q_co_invocation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts_synth": oracles.transcripts_oracle(),
+        "call_triples": oracles.call_triples_oracle(),
+        "mentions": oracles.mentions_oracle(),
+        "link_exact": oracles.link_exact_oracle(),
+        "alias_sim_edges": oracles.alias_sim_edges_oracle(),
+        "canonical_map": oracles.canonical_map_oracle(),
+        "kg_edges": oracles.kg_edges_oracle(),
+        "kg_vertices": oracles.kg_vertices_oracle(),
+        "co_invocation": oracles.co_invocation_oracle(),
+    }

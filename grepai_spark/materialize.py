@@ -1,0 +1,107 @@
+"""Stage 4 — MATERIALIZE: canonical vertices + (subj, pred, obj) edges.
+
+Analog of the reference's save-time CallEdge construction
+(/root/reference/trace/store.go:194-204) and RPG node/edge persist
+(/root/reference/rpg/indexer.go:78-240), re-expressed as two DataFrames
+written to partitioned tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mention_triples(
+    linked_mentions: DataFrame, canonical_map: DataFrame
+) -> DataFrame:
+    """(role)-[:mentions]->(entity) per linked in-text mention.
+
+    canonical_map is tiny (dictionary-sized) -> broadcast join; the big
+    mentions side never shuffles.
+    """
+    cmap = F.broadcast(canonical_map)
+    return (
+        linked_mentions.where(F.col("canonical_id").isNotNull())
+        .join(cmap, "canonical_id")
+        .select(
+            F.col("role").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("entity_id").alias("obj"),
+            "conv_id",
+            "turn_idx",
+            F.lit(1.0).cast("float").alias("weight"),
+        )
+        .dropDuplicates(["subj", "pred", "obj", "conv_id", "turn_idx"])
+    )
+
+
+def build_edges(
+    call_triples: DataFrame, mention_triples: DataFrame
+) -> DataFrame:
+    return call_triples.unionByName(mention_triples).dropDuplicates(
+        ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    )
+
+
+def build_vertices(
+    alias_dict: DataFrame, canonical_map: DataFrame
+) -> DataFrame:
+    """One row per canonical entity (post-CC component).
+
+    canonical_name = lexicographic min alias in the component (deterministic
+    tie-break, mirroring the reference's sorted-iteration reproducibility,
+    /root/reference/rpg/hierarchy.go:46-96).
+    """
+    joined = alias_dict.join(F.broadcast(canonical_map), "canonical_id")
+    return joined.groupBy("entity_id").agg(
+        F.min("alias").alias("canonical_name"),
+        F.min("kind").alias("kind"),
+        F.array_sort(F.collect_set("alias")).alias("aliases"),
+    )
+
+
+def co_invocation_edges(
+    call_triples: DataFrame,
+    min_cooccur: int = 2,
+    hub_cap: int = 50,
+) -> DataFrame:
+    """Tools co-invoked within the same conversation — the co-caller affinity
+    analog (/root/reference/rpg/indexer.go:820-885): pairs co-occurring >= 2
+    times across conversations become weighted edges; conversations invoking
+    > hub_cap distinct tools are skipped (the reference's explicit hub guard
+    against O(k^2) pair explosion on mega-threads).
+    """
+    per_conv = (
+        call_triples.select("conv_id", F.col("obj").alias("tool"))
+        .distinct()
+    )
+    # hub cap BEFORE the pair self-join — the skew guard must precede the blowup
+    fanout = per_conv.groupBy("conv_id").agg(
+        F.count("*").alias("n_tools")
+    )
+    small = per_conv.join(
+        fanout.where(F.col("n_tools") <= hub_cap), ["conv_id"]
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.tool") < F.col("b.tool")),
+        )
+        .groupBy(
+            F.col("a.tool").alias("subj"), F.col("b.tool").alias("obj")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_cooccur)
+    )
+    return pairs.select(
+        "subj",
+        F.lit("co_invoked").alias("pred"),
+        "obj",
+        F.lit("*").alias("conv_id"),
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.col("cnt").cast("float").alias("weight"),
+    )

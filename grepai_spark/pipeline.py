@@ -1,0 +1,154 @@
+"""End-to-end KG-construction pipeline: EXTRACT -> LINK -> CANON -> MATERIALIZE.
+
+Orchestrates the stage modules over a transcripts DataFrame, with per-bucket
+lineage checkpoints so a killed run resumes idempotently (north_rule). The
+analog of the reference's full index build
+(Indexer.IndexAll -> trace extract -> RPG BuildFull,
+/root/reference/cli/watch.go:750-860, indexer/indexer.go:94).
+
+Stage boundaries = shuffle boundaries; every stage's output merges into a
+bucket-partitioned table so re-running overwrites exactly the recomputed
+buckets (Iceberg: overwritePartitions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grepai_spark import cc, extract, link, lineage, materialize
+from grepai_spark.storage import Catalog
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by tests to simulate a mid-run kill."""
+
+
+def kg_edges_df(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Pure-DataFrame end-to-end edge derivation (no table writes) — the
+    flagship query: EXTRACT -> LINK -> CANON -> triples."""
+    calls = extract.call_triples(transcripts)
+    mentions = extract.detect_mentions(transcripts, alias_dict)
+    linked = link.link_mentions_exact(mentions, alias_dict)
+    sim = (
+        link.alias_similarity_edges_lsh(alias_dict)
+        if use_lsh
+        else link.alias_similarity_edges(alias_dict)
+    )
+    cmap = cc.canonical_map(alias_dict, sim)
+    ment = materialize.mention_triples(linked, cmap)
+    return materialize.build_edges(calls, ment)
+
+
+def kg_vertices_df(
+    spark: SparkSession, alias_dict: DataFrame
+) -> DataFrame:
+    sim = link.alias_similarity_edges(alias_dict)
+    cmap = cc.canonical_map(alias_dict, sim)
+    return materialize.build_vertices(alias_dict, cmap)
+
+
+@dataclass
+class PipelineResult:
+    edges: DataFrame
+    vertices: DataFrame
+    counters: dict[str, int] = field(default_factory=dict)
+
+
+def run(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    fail_after: str | None = None,
+    use_lsh: bool = False,
+) -> PipelineResult:
+    catalog = Catalog(spark, out_dir)
+    counters: dict[str, int] = {}
+
+    tb = lineage.with_bucket(transcripts, n_buckets)
+    hashes = lineage.bucket_content_hashes(tb).localCheckpoint(eager=True)
+
+    # ---- stage: mentions (extract + exact link), per-bucket resumable ------
+    pending = lineage.pending_buckets(catalog, "mentions", hashes)
+    pending_ids = [r["bucket"] for r in pending.select("bucket").collect()]
+    counters["mentions_buckets_pending"] = len(pending_ids)
+    if pending_ids:
+        sub = tb.where(F.col("bucket").isin(pending_ids))
+        mentions = extract.detect_mentions(sub, alias_dict)
+        linked = link.link_mentions_exact(mentions, alias_dict)
+        linked = lineage.with_bucket(linked, n_buckets)
+        catalog.merge_by_key(
+            "mentions_linked",
+            linked.select(
+                "bucket",
+                "conv_id",
+                "turn_idx",
+                "role",
+                "mention",
+                "pos",
+                "kind",
+                "canonical_id",
+            ),
+            ["bucket"],
+        )
+        out_counts = linked.groupBy("bucket").agg(
+            F.count("*").alias("rows_out")
+        )
+        lineage.mark_done(catalog, "mentions", pending, out_counts)
+    if fail_after == "mentions":
+        raise InjectedFailure("killed after mentions stage")
+
+    # ---- stage: canonicalization (dictionary-level, cheap, global) ---------
+    sim = (
+        link.alias_similarity_edges_lsh(alias_dict)
+        if use_lsh
+        else link.alias_similarity_edges(alias_dict)
+    )
+    cmap = cc.canonical_map(alias_dict, sim).localCheckpoint(eager=True)
+    counters["canonical_entities"] = cmap.select("entity_id").distinct().count()
+    if fail_after == "canonicalize":
+        raise InjectedFailure("killed after canonicalize stage")
+
+    # ---- stage: edges (materialize), per-bucket resumable ------------------
+    pending_e = lineage.pending_buckets(catalog, "edges", hashes)
+    pending_e_ids = [r["bucket"] for r in pending_e.select("bucket").collect()]
+    counters["edges_buckets_pending"] = len(pending_e_ids)
+    if pending_e_ids:
+        sub = tb.where(F.col("bucket").isin(pending_e_ids))
+        calls = extract.call_triples(sub)
+        ml = catalog.read("mentions_linked").where(
+            F.col("bucket").isin(pending_e_ids)
+        )
+        ment = materialize.mention_triples(ml, cmap)
+        edges = materialize.build_edges(calls, ment)
+        edges_b = lineage.with_bucket(edges, n_buckets)
+        catalog.merge_by_key(
+            "edges",
+            edges_b.select(
+                "bucket", "subj", "pred", "obj", "conv_id", "turn_idx", "weight"
+            ),
+            ["bucket"],
+        )
+        out_counts = edges_b.groupBy("bucket").agg(
+            F.count("*").alias("rows_out")
+        )
+        lineage.mark_done(catalog, "edges", pending_e, out_counts)
+
+    # ---- stage: vertices (global, dictionary-scale) -------------------------
+    vertices = materialize.build_vertices(alias_dict, cmap)
+    catalog.overwrite("vertices", vertices)
+
+    edges_out = catalog.read("edges").drop("bucket")
+    vertices_out = catalog.read("vertices")
+    counters["edges"] = edges_out.count()
+    counters["vertices"] = vertices_out.count()
+    return PipelineResult(edges=edges_out, vertices=vertices_out, counters=counters)

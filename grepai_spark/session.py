@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same configs are what we would submit with
+``spark-submit --py-files`` on a real cluster. AQE is on so skew joins are split
+at runtime on top of our explicit salting (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "grepai-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    # Rule of thumb: shuffle partitions ~ 2x cores locally; on a real cluster this
+    # is sized so a post-shuffle partition stays well under executor memory
+    # (with AQE coalescing the small ones back together).
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size is the analog of the reference's embed-batch caps
+        # (<=2000 inputs per call, /root/reference/embedder/batch.go:3-9): it
+        # bounds how much text one encoder invocation sees.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

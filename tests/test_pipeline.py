@@ -1,0 +1,92 @@
+"""Full pipeline: P/R vs golden triples, idempotent resume, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from grepai_spark import pipeline
+from grepai_spark.oracle import Triple, golden_triples, precision_recall
+from grepai_spark.synth import ALIAS_ROWS, alias_dict_df
+
+
+def _triple_set(edges_df):
+    return {
+        Triple(r.subj, r.pred, r.obj, r.conv_id, r.turn_idx)
+        for r in edges_df.collect()
+    }
+
+
+def _golden(transcripts_df):
+    rows = [r.asDict() for r in transcripts_df.collect()]
+    return golden_triples(rows, ALIAS_ROWS)
+
+
+def test_pipeline_pr_on_sf0001(spark, sf_transcripts, tmp_path):
+    res = pipeline.run(
+        spark,
+        sf_transcripts,
+        alias_dict_df(spark),
+        str(tmp_path / "out"),
+    )
+    got = _triple_set(res.edges)
+    want = _golden(sf_transcripts)
+    p, r = precision_recall(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert p == 1.0 and r == 1.0  # clean fixture: must be exact
+    # vertices: QueryParserFast merged away by CC
+    v = {row.entity_id for row in res.vertices.collect()}
+    assert "e_parse_query" in v and "e_query_parser_fast" not in v
+
+
+def test_pipeline_resume_after_kill(spark, tiny_transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    d = alias_dict_df(spark)
+    # clean run for the expected output
+    clean = pipeline.run(spark, tiny_transcripts, d, str(tmp_path / "clean"))
+    want = _triple_set(clean.edges)
+
+    with pytest.raises(pipeline.InjectedFailure):
+        pipeline.run(spark, tiny_transcripts, d, out, fail_after="mentions")
+    res = pipeline.run(spark, tiny_transcripts, d, out)
+    # resume skipped the already-done mentions buckets
+    assert res.counters["mentions_buckets_pending"] == 0
+    assert _triple_set(res.edges) == want
+
+
+def test_pipeline_rerun_noop(spark, tiny_transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    d = alias_dict_df(spark)
+    r1 = pipeline.run(spark, tiny_transcripts, d, out)
+    r2 = pipeline.run(spark, tiny_transcripts, d, out)
+    assert r2.counters["mentions_buckets_pending"] == 0
+    assert r2.counters["edges_buckets_pending"] == 0
+    assert _triple_set(r1.edges) == _triple_set(r2.edges)
+
+
+def test_pipeline_lsh_variant_same_output(spark, tiny_transcripts, tmp_path):
+    d = alias_dict_df(spark)
+    a = pipeline.run(spark, tiny_transcripts, d, str(tmp_path / "a"))
+    b = pipeline.run(
+        spark, tiny_transcripts, d, str(tmp_path / "b"), use_lsh=True
+    )
+    assert _triple_set(a.edges) == _triple_set(b.edges)
+
+
+def test_pipeline_parallelism_invariance(spark, sf_transcripts, tmp_path):
+    """Same triples regardless of partitioning (determinism criterion #7)."""
+    d = alias_dict_df(spark)
+    a = pipeline.run(
+        spark,
+        sf_transcripts.repartition(2),
+        d,
+        str(tmp_path / "p2"),
+        n_buckets=4,
+    )
+    b = pipeline.run(
+        spark,
+        sf_transcripts.repartition(16),
+        d,
+        str(tmp_path / "p16"),
+        n_buckets=32,
+    )
+    assert _triple_set(a.edges) == _triple_set(b.edges)
