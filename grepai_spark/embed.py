@@ -1,0 +1,141 @@
+"""Stage 1b — EMBED: batched deterministic encoder + content-hash cache.
+
+The reference embeds chunks through pluggable HTTP providers with batching,
+retries and a content-hash cache (Embedder interface
+/root/reference/embedder/embedder.go:6-36, batching embedder/batch.go:115-135,
+cache store/store.go:105-109 used at indexer/indexer.go:352-417). Here:
+
+* the encoder is a deterministic hash-projection embedder (the analog of the
+  reference's synthetic provider, /root/reference/embedder/synthetic.go:18) —
+  a pandas UDF over Arrow batches, so one Python invocation handles up to
+  `spark.sql.execution.arrow.maxRecordsPerBatch` texts (the batch-cap analog);
+  no per-row Python.
+* the cache is a content_hash-keyed table. The flow is the biggest cost saver
+  at 10^12 turns: dropDuplicates(content_hash) BEFORE encoding collapses all
+  duplicate texts to one encoder call, then cache hits skip even that.
+
+At cluster scale the encode stage is embarrassingly parallel; the only
+shuffle is the dropDuplicates on content_hash (hash partitioning on a
+uniformly distributed key — no skew by construction).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from grepai_spark.schemas import EMBED_DIM, EMBEDDING_CACHE
+from grepai_spark.storage import Catalog
+
+_TOKEN_SPLIT = r"[^0-9a-z]+"
+
+
+def _token_slot(tok: str, dim: int) -> tuple[int, float]:
+    h = zlib.crc32(tok.encode("utf-8"))
+    idx = h % dim
+    sign = 1.0 if (h >> 16) & 1 else -1.0
+    return idx, sign
+
+
+def py_encode(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Pure-Python twin — used for query vectors on the driver and in tests.
+
+    Deterministic hashed bag-of-words projection, L2-normalized. Empty text
+    -> zero vector.
+    """
+    import re
+
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in re.split(_TOKEN_SPLIT, (text or "").lower()):
+        if tok:
+            idx, sign = _token_slot(tok, dim)
+            v[idx] += sign
+    n = float(np.linalg.norm(v))
+    if n > 0:
+        v /= n
+    return [float(x) for x in v]
+
+
+def make_encoder_udf(dim: int = EMBED_DIM):
+    """Arrow-batched encoder: Series[str] -> Series[list[float]].
+
+    Token -> slot lookups are memoized across the batch (texts repeat tokens
+    heavily), so per-batch cost is ~O(total tokens) with small constants.
+    """
+    import re
+
+    splitter = re.compile(_TOKEN_SPLIT)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        slot_cache: dict[str, tuple[int, float]] = {}
+        out = []
+        for text in texts.fillna(""):
+            v = np.zeros(dim, dtype=np.float64)
+            for tok in splitter.split(text.lower()):
+                if not tok:
+                    continue
+                s = slot_cache.get(tok)
+                if s is None:
+                    s = _token_slot(tok, dim)
+                    slot_cache[tok] = s
+                v[s[0]] += s[1]
+            n = float(np.linalg.norm(v))
+            if n > 0:
+                v /= n
+            out.append([float(x) for x in v])
+        return pd.Series(out)
+
+    return encode
+
+
+def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """sha2-256 of the text — the reference's chunk ContentHash
+    (/root/reference/indexer/chunker.go:104-105)."""
+    return df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+
+
+def embed_with_cache(
+    catalog: Catalog,
+    turns: DataFrame,
+    dim: int = EMBED_DIM,
+    cache_table: str = "embedding_cache",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Attach a `vector` column to turns, encoding only cache misses.
+
+    Returns (turns + content_hash + vector, counters). Flow:
+      distinct content_hash  ->  anti-join cache  ->  encode misses
+      ->  MERGE into cache   ->  join turns back to the cache.
+    Idempotent: vectors are deterministic functions of content_hash, so
+    last-write-wins merges are safe under resume (SURVEY.md §7.4).
+    """
+    hashed = with_content_hash(turns)
+    cache = catalog.read(cache_table, schema=EMBEDDING_CACHE)
+
+    distinct_texts = hashed.select("content_hash", "text").dropDuplicates(
+        ["content_hash"]
+    )
+    misses = distinct_texts.join(
+        cache.select("content_hash"), "content_hash", "left_anti"
+    )
+    encoder = make_encoder_udf(dim)
+    encoded = misses.select(
+        "content_hash", encoder(F.col("text")).alias("vector")
+    )
+    n_total = distinct_texts.count()
+    n_miss = encoded.count()
+    catalog.merge_by_key(cache_table, encoded, ["content_hash"])
+
+    cache_now = catalog.read(cache_table)
+    out = hashed.join(cache_now, "content_hash", "left")
+    counters = {
+        "distinct_texts": n_total,
+        "cache_misses": n_miss,
+        "cache_hits": n_total - n_miss,
+    }
+    return out, counters

@@ -122,6 +122,91 @@ GROUP BY comp.entity_id
 """.strip()
 
 
+def _vec_literal(v: list[float]) -> str:
+    return "[" + ", ".join(f"{x!r}" for x in v) + "]"
+
+
+def cosine_topk_oracle(query_vec: list[float], k: int) -> str:
+    """Explicit double-precision sequential dot product (same fold order as
+    Spark's aggregate(zip_with(...)))."""
+    q = _vec_literal(query_vec)
+    return f"""
+SELECT vec_id,
+       round(list_sum(list_apply(list_zip(embedding, {q}),
+                      x -> CAST(x[1] AS DOUBLE) * x[2])), 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id
+LIMIT {k}
+""".strip()
+
+
+def text_search_oracle(qtokens: list[str], k: int) -> str:
+    toks = "[" + ", ".join(f"'{t}'" for t in qtokens) + "]"
+    return f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         round(CAST(len(list_intersect(
+             list_distinct(regexp_split_to_array(lower(text), '[^0-9a-z]+')),
+             {toks})) AS DOUBLE) / {float(len(qtokens))}, 6) AS score
+  FROM documents
+) s WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+""".strip()
+
+
+def hybrid_search_oracle(
+    query_vec: list[float],
+    qtokens: list[str],
+    limit: int,
+    rrf_k: int = 60,
+    boost_patterns: list[tuple[str, float]] | None = None,
+) -> str:
+    fetch = limit * 4
+    vec_sql = cosine_topk_oracle(query_vec, fetch)
+    txt_sql = text_search_oracle(qtokens, fetch)
+    boost = "1.0"
+    for pat, f_ in boost_patterns or []:
+        boost += f" * (CASE WHEN strpos(d.source, '{pat}') > 0 THEN {f_} ELSE 1.0 END)"
+    return f"""
+WITH vec_list AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+  FROM ({vec_sql}) v
+),
+txt_list AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM ({txt_sql}) t
+),
+fused AS (
+  SELECT doc_id, round(sum(1.0 / ({rrf_k} + rank)), 6) AS score
+  FROM (SELECT * FROM vec_list UNION ALL SELECT * FROM txt_list) u
+  GROUP BY doc_id
+),
+boosted AS (
+  SELECT f.doc_id, d.source, round(f.score * ({boost}), 6) AS score
+  FROM fused f JOIN documents d ON f.doc_id = d.doc_id
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id) AS rn
+    FROM boosted
+  ) x WHERE rn = 1
+)
+SELECT doc_id, source, score FROM deduped
+ORDER BY score DESC, doc_id
+LIMIT {limit}
+""".strip()
+
+
+def embed_cache_stats_oracle() -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts
+FROM ({TRANSCRIPTS_REL}) t
+""".strip()
+
+
 def co_invocation_oracle(min_cooccur: int = 2, hub_cap: int = 50) -> str:
     return f"""
 WITH calls AS (

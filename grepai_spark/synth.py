@@ -101,7 +101,7 @@ SELECT
        WHEN event_id % 23 = 5 THEN repeat('long turn mentions ' || {a1} || ' ', 300)
        WHEN event_id % 17 = 2 THEN 'unicode héllo—世界 mentions ' || {a1}
        ELSE 'turn ' || event_type || ' uses ' || {a1} || ' with ' || {a2}
-            || ' k' || CAST(event_id % 100 AS {s})
+            || ' k' || CAST(event_id % 7 AS {s})
   END AS text,
   CASE event_type WHEN 'purchase' THEN 'payments.charge'
                   WHEN 'error'    THEN 'diagnostics.trace'
