@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grepai_spark import extract, link, oracles, pipeline, search
+from grepai_spark import aggs, extract, graphq, link, oracles, pipeline, search
 from grepai_spark.cc import canonical_map
 from grepai_spark.embed import py_encode, with_content_hash
 from grepai_spark.link import alias_similarity_edges
@@ -113,6 +113,56 @@ def _q_embed_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_SEED = "payments.charge"
+NODE_QUERY = "fetch data rows"
+
+
+def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.kg_edges_df(
+        spark, load_transcripts(spark, sf_dir), alias_dict_df(spark)
+    )
+
+
+def _q_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.callers(_kg_edges(spark, sf_dir), BFS_SEED)
+
+
+def _q_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.callees(_kg_edges(spark, sf_dir), "agent:buyer")
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.bfs(_kg_edges(spark, sf_dir), BFS_SEED, depth=2)
+
+
+def _q_search_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.search_nodes(
+        pipeline.kg_vertices_df(spark, alias_dict_df(spark)), NODE_QUERY
+    )
+
+
+def _q_feature_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggs.feature_freq_topn(_q_mentions(spark, sf_dir), 10)
+
+
+def _q_modal_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggs.modal_cluster_per_conv(_q_mentions(spark, sf_dir))
+
+
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggs.index_stats(
+        load_transcripts(spark, sf_dir), _kg_edges(spark, sf_dir)
+    )
+
+
+def _q_tool_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggs.tool_hierarchy(load_transcripts(spark, sf_dir))
+
+
+def _q_cluster_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggs.cluster_mentions(_q_mentions(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_synth": _q_transcripts,
@@ -128,6 +178,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "hybrid_search": _q_hybrid_search,
         "embed_cache_stats": _q_embed_cache_stats,
+        "callers": _q_callers,
+        "callees": _q_callees,
+        "bfs_depth2": _q_bfs,
+        "search_nodes": _q_search_nodes,
+        "feature_freq": _q_feature_freq,
+        "modal_cluster": _q_modal_cluster,
+        "index_stats": _q_index_stats,
+        "tool_hierarchy": _q_tool_hierarchy,
+        "cluster_mentions": _q_cluster_mentions,
     }
 
 
@@ -155,4 +214,15 @@ def oracle_sql() -> dict[str, str]:
             boost_patterns=BOOST_PATTERNS,
         ),
         "embed_cache_stats": oracles.embed_cache_stats_oracle(),
+        "callers": oracles.callers_oracle(BFS_SEED),
+        "callees": oracles.callees_oracle("agent:buyer"),
+        "bfs_depth2": oracles.bfs_oracle(BFS_SEED),
+        "search_nodes": oracles.search_nodes_oracle(
+            search.tokenize_query(NODE_QUERY)
+        ),
+        "feature_freq": oracles.feature_freq_oracle(10),
+        "modal_cluster": oracles.modal_cluster_oracle(),
+        "index_stats": oracles.index_stats_oracle(),
+        "tool_hierarchy": oracles.tool_hierarchy_oracle(),
+        "cluster_mentions": oracles.cluster_mentions_oracle(),
     }

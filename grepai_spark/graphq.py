@@ -1,0 +1,153 @@
+"""Graph query operators — the reference's trace/RPG query side (SURVEY.md §2.9).
+
+G1 callers lookup       (ref: /root/reference/trace/store.go:280-289,358-385)
+G2 callees lookup       (ref: trace/store.go:292-332)
+G3 bounded BFS          (ref: trace/store.go:388-481)
+G5 node search          (ref: rpg/query.go:85-202, scoring rpg/query.go:666-711)
+G6 fetch node           (ref: rpg/query.go:205-273)
+
+BFS is an iterative DataFrame loop — frontier ⋈ edges, depth-bounded, with a
+distinct visited set. The reference's name-collision guard (don't traverse
+through ambiguous symbols, trace/store.go:408-419) maps to a hub-degree guard:
+nodes whose fan-out exceeds `hub_cap` are reported but not expanded — the same
+safety valve that keeps a mega-hub from exploding the frontier at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grepai_spark.naming import jaccard_sql, norm_tokens_sql
+
+
+def callers(edges: DataFrame, name: str, pred: str = "calls") -> DataFrame:
+    """Who calls `name` (G1): distinct callers with invocation counts."""
+    return (
+        edges.where((F.col("pred") == pred) & (F.col("obj") == name))
+        .groupBy(F.col("subj").alias("caller"))
+        .agg(F.count("*").alias("n_calls"))
+        .orderBy("caller")
+    )
+
+
+def callees(edges: DataFrame, name: str, pred: str = "calls") -> DataFrame:
+    """What `name` calls (G2)."""
+    return (
+        edges.where((F.col("pred") == pred) & (F.col("subj") == name))
+        .groupBy(F.col("obj").alias("callee"))
+        .agg(F.count("*").alias("n_calls"))
+        .orderBy("callee")
+    )
+
+
+def bfs(
+    edges: DataFrame,
+    seed: str,
+    depth: int = 2,
+    direction: str = "both",
+    preds: list[str] | None = None,
+    hub_cap: int = 1000,
+) -> DataFrame:
+    """Bounded BFS (G3/G4): (node, depth) rows reachable from `seed` within
+    `depth` hops. direction: fwd | rev | both. Nodes with fan-out > hub_cap
+    are not expanded (collision/hub guard).
+
+    Each hop is one broadcast-able join of a small frontier against the edge
+    table — at scale the frontier stays tiny relative to edges, so Spark
+    broadcasts it and the big side never shuffles.
+    """
+    e = edges
+    if preds:
+        e = e.where(F.col("pred").isin(preds))
+    fwd = e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    rev = e.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+    if direction == "fwd":
+        adj = fwd
+    elif direction == "rev":
+        adj = rev
+    else:
+        adj = fwd.union(rev)
+    adj = adj.where(F.col("a") != F.col("b")).distinct()
+    # hub guard: degree pre-computation, expansion skips heavy nodes
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    expandable = deg.where(F.col("deg") <= hub_cap).select("a")
+    adj_ok = adj.join(expandable, "a")
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(seed, 0)], ["node", "depth"])
+    frontier = visited
+    for d in range(1, depth + 1):
+        nxt = (
+            F.broadcast(frontier.select(F.col("node").alias("a")))
+            .join(adj_ok, "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited.orderBy("depth", "node")
+
+
+def search_nodes(
+    vertices: DataFrame,
+    query: str,
+    k: int = 10,
+    kind: str | None = None,
+) -> DataFrame:
+    """Jaccard(query tokens, name∪alias tokens) node search (G5;
+    scoring ref: rpg/query.go:666-711)."""
+    from grepai_spark.search import tokenize_query
+
+    qtok = tokenize_query(query)
+    v = vertices.withColumn(
+        "node_tokens",
+        F.expr(
+            "array_distinct(flatten(transform("
+            "array_union(array(canonical_name), aliases), "
+            f"a -> {norm_tokens_sql('a')})))"
+        ),
+    )
+    score = F.round(
+        F.size(F.array_intersect(F.col("node_tokens"), F.lit(qtok)))
+        / F.size(F.array_union(F.col("node_tokens"), F.lit(qtok))),
+        6,
+    )
+    out = v.withColumn("score", score).where(F.col("score") > 0)
+    if kind:
+        out = out.where(F.col("kind") == kind)
+    return (
+        out.orderBy(F.desc("score"), F.asc("entity_id"))
+        .limit(k)
+        .select("entity_id", "canonical_name", "score")
+    )
+
+
+def fetch_node(
+    vertices: DataFrame, edges: DataFrame, entity_id: str
+) -> DataFrame:
+    """Node + its incident edges with neighbor names (G6) as flat rows."""
+    v = vertices.where(F.col("entity_id") == entity_id)
+    out_e = edges.where(F.col("subj") == entity_id).select(
+        F.lit("out").alias("dir"),
+        "pred",
+        F.col("obj").alias("neighbor"),
+        "weight",
+    )
+    in_e = edges.where(F.col("obj") == entity_id).select(
+        F.lit("in").alias("dir"),
+        "pred",
+        F.col("subj").alias("neighbor"),
+        "weight",
+    )
+    both = out_e.union(in_e).groupBy("dir", "pred", "neighbor").agg(
+        F.count("*").alias("n"), F.round(F.sum("weight"), 6).alias("w")
+    )
+    return both.crossJoin(
+        F.broadcast(v.select("canonical_name", "kind"))
+    ).orderBy("dir", "pred", "neighbor")

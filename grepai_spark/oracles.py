@@ -8,7 +8,12 @@ connected components via a recursive CTE instead of large-star/small-star.
 
 from __future__ import annotations
 
-from grepai_spark.naming import first_token_sql, jaccard_sql, norm_tokens_sql
+from grepai_spark.naming import (
+    first_token_sql,
+    jaccard_sql,
+    norm_key_sql,
+    norm_tokens_sql,
+)
 from grepai_spark.synth import alias_dict_values_sql, transcripts_sql
 
 # The driver registers `events` as a view; transcripts derive from it.
@@ -119,6 +124,145 @@ SELECT comp.entity_id,
        list_sort(list_distinct(list(nd.alias))) AS aliases
 FROM nd JOIN comp ON nd.canonical_id = comp.canonical_id
 GROUP BY comp.entity_id
+""".strip()
+
+
+def _edges_sub() -> str:
+    """kg_edges as a parenthesized subquery (CTEs nest fine in DuckDB)."""
+    return f"({kg_edges_oracle()})"
+
+
+def callers_oracle(name: str, pred: str = "calls") -> str:
+    return f"""
+SELECT subj AS caller, count(*) AS n_calls
+FROM {_edges_sub()} e
+WHERE pred = '{pred}' AND obj = '{name}'
+GROUP BY subj ORDER BY caller
+""".strip()
+
+
+def callees_oracle(name: str, pred: str = "calls") -> str:
+    return f"""
+SELECT obj AS callee, count(*) AS n_calls
+FROM {_edges_sub()} e
+WHERE pred = '{pred}' AND subj = '{name}'
+GROUP BY obj ORDER BY callee
+""".strip()
+
+
+def bfs_oracle(seed: str, hub_cap: int = 1000) -> str:
+    """Depth-2 undirected BFS with the hub-degree expansion guard."""
+    return f"""
+WITH eg AS (SELECT subj, obj FROM {_edges_sub()} e),
+adj AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT subj AS a, obj AS b FROM eg
+    UNION SELECT obj AS a, subj AS b FROM eg
+  ) x WHERE a <> b
+),
+deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a),
+adj_ok AS (SELECT adj.* FROM adj JOIN deg USING (a) WHERE deg.d <= {hub_cap}),
+d0 AS (SELECT '{seed}' AS node),
+d1 AS (
+  SELECT DISTINCT b AS node FROM adj_ok WHERE a = '{seed}'
+  AND b NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT ao.b AS node
+  FROM d1 JOIN adj_ok ao ON ao.a = d1.node
+  WHERE ao.b NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1)
+)
+SELECT node, CAST(0 AS INT) AS depth FROM d0
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
+ORDER BY depth, node
+""".strip()
+
+
+def feature_freq_oracle(n: int = 10) -> str:
+    return f"""
+SELECT mention, cnt, rank FROM (
+  SELECT mention, count(*) AS cnt,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, mention) AS INT) AS rank
+  FROM ({mentions_oracle()}) m GROUP BY mention
+) x WHERE rank <= {n}
+""".strip()
+
+
+def modal_cluster_oracle() -> str:
+    blk = first_token_sql("mention", "duckdb")
+    return f"""
+SELECT conv_id, cluster, cnt FROM (
+  SELECT conv_id, cluster, cnt,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY cnt DESC, cluster) AS rn
+  FROM (
+    SELECT conv_id, {blk} AS cluster, count(*) AS cnt
+    FROM ({mentions_oracle()}) m GROUP BY conv_id, {blk}
+  ) c
+) r WHERE rn = 1
+""".strip()
+
+
+def index_stats_oracle() -> str:
+    return f"""
+SELECT * FROM (
+  SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+         CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+         max(ts) AS last_ts
+  FROM ({TRANSCRIPTS_REL}) t
+) a CROSS JOIN (
+  SELECT count(*) AS n_edges, count(DISTINCT pred) AS n_preds
+  FROM {_edges_sub()} e
+) b
+""".strip()
+
+
+def tool_hierarchy_oracle() -> str:
+    return f"""
+SELECT str_split(tool, '.')[1] AS area, tool,
+       count(*) AS n_calls, count(DISTINCT conv_id) AS n_convs
+FROM ({TRANSCRIPTS_REL}) t WHERE tool <> ''
+GROUP BY area, tool ORDER BY area, tool
+""".strip()
+
+
+def cluster_mentions_oracle() -> str:
+    blk = first_token_sql("mention", "duckdb")
+    key = norm_key_sql("mention", "duckdb")
+    return f"""
+SELECT {blk} AS cluster, {key} AS norm_key, count(*) AS cnt
+FROM ({mentions_oracle()}) m
+GROUP BY cluster, norm_key ORDER BY cluster, norm_key
+""".strip()
+
+
+def search_nodes_oracle(qtokens: list[str], k: int = 10) -> str:
+    toks = "[" + ", ".join(f"'{t}'" for t in qtokens) + "]"
+    inner = norm_tokens_sql("a", "duckdb")
+    return f"""
+WITH RECURSIVE {_canonical_map_ctes()},
+verts AS (
+  SELECT comp.entity_id, min(nd.alias) AS canonical_name,
+         list_sort(list_distinct(list(nd.alias))) AS aliases
+  FROM nd JOIN comp ON nd.canonical_id = comp.canonical_id
+  GROUP BY comp.entity_id
+),
+scored AS (
+  SELECT entity_id, canonical_name,
+         round(CAST(len(list_intersect(node_tokens, {toks})) AS DOUBLE)
+               / len(list_distinct(list_concat(node_tokens, {toks}))), 6) AS score
+  FROM (
+    SELECT entity_id, canonical_name,
+           list_distinct(flatten(list_transform(
+             list_concat([canonical_name], aliases), a -> {inner}))) AS node_tokens
+    FROM verts
+  ) v
+)
+SELECT entity_id, canonical_name, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, entity_id
+LIMIT {k}
 """.strip()
 
 
