@@ -13,7 +13,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from grepai_spark import aggs, extract, graphq, link, oracles, pipeline, search
+from grepai_spark import (
+    aggs,
+    ann,
+    dedup,
+    extract,
+    graphq,
+    link,
+    multimodal,
+    oracles,
+    pipeline,
+    search,
+    textstats,
+)
 from grepai_spark.cc import canonical_map
 from grepai_spark.embed import py_encode, with_content_hash
 from grepai_spark.link import alias_similarity_edges
@@ -163,6 +175,78 @@ def _q_cluster_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.cluster_mentions(_q_mentions(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / ANN / text analysis / multimodal)
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_transcripts(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ann_lsh_topk(_emb(spark, sf_dir), _QUERY_VEC64, 20)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ivf_topk(_emb(spark, sf_dir), _QUERY_VEC64, 20)
+
+
+def _q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.near_dup_cosine_pairs(_emb(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_quality(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_meta(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas byte-feature plumbing; no SQL oracle (rows-only check).
+    return multimodal.extract_features(
+        multimodal.attach_binary(_docs(spark, sf_dir))
+    )
+
+
+# Deterministic 64-dim query vector for the ANN queries over the driver's
+# embeddings table (its vectors are 64-wide, unlike our 768-dim turn encoder).
+_QUERY_VEC64 = py_encode("scan filter join aggregate window", dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_synth": _q_transcripts,
@@ -187,6 +271,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "tool_hierarchy": _q_tool_hierarchy,
         "cluster_mentions": _q_cluster_mentions,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_pairs": _q_dedup_ngram,
+        "dedup_minhash_pairs": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "near_dup_cosine": _q_near_dup_cosine,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
     }
 
 
@@ -225,4 +322,18 @@ def oracle_sql() -> dict[str, str]:
         "index_stats": oracles.index_stats_oracle(),
         "tool_hierarchy": oracles.tool_hierarchy_oracle(),
         "cluster_mentions": oracles.cluster_mentions_oracle(),
+        "dedup_exact": dedup.dedup_exact_oracle(oracles.TRANSCRIPTS_REL),
+        "dedup_ngram_pairs": dedup.ngram_jaccard_pairs_oracle(),
+        "dedup_minhash_pairs": dedup.minhash_lsh_pairs_oracle(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_oracle(),
+        "ann_lsh_topk": ann.ann_lsh_topk_oracle(_QUERY_VEC64, 20),
+        "ivf_topk": ann.ivf_topk_oracle(_QUERY_VEC64, 20),
+        "near_dup_cosine": ann.near_dup_cosine_pairs_oracle(),
+        "lang_id": textstats.lang_id_oracle(),
+        "text_quality": textstats.text_quality_oracle(),
+        "token_counts": textstats.token_counts_oracle(),
+        "doc_fingerprint": textstats.doc_fingerprint_oracle(),
+        "media_meta": multimodal.media_meta_oracle(),
+        # media_features: mapInPandas byte histograms — intentionally no SQL
+        # oracle (rows-only check); the decode seam is a stub by design.
     }

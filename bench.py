@@ -1,0 +1,111 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "turns_per_sec", "value": N, "unit": "turns/sec",
+     "queries": {"kg_edges": sec, ...}, "sf": 0.1, ...}
+
+The headline metric is end-to-end KG-pipeline throughput in turns/sec
+(BASELINE.json metric). Per-query wall seconds cover the other operator
+families. Each query is forced with a noop-format write so Catalyst cannot
+prune expensive projections the way a bare count() would.
+
+Scaling-efficiency mode (BASELINE.md criterion): run this script twice with
+SPARK_GRAFT_CPUS=8 and =32 on the same sf dir; efficiency =
+(throughput_32 / throughput_8) / 4. `tools/scaling_run.py` automates it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> int:
+    """Execute the full plan. noop write evaluates every output column
+    (count() would let Catalyst prune deterministic projections)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_queries = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+    bench_queries = [q for q in bench_queries if q]
+
+    import __spark_entry__ as entrymod
+    from grepai_spark.session import get_spark
+
+    spark = get_spark(app_name=f"grepai-bench-{cpus}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from grepai_spark.synth import load_transcripts
+
+    n_turns = load_transcripts(spark, sf_dir).count()
+
+    qs = entrymod.queries()
+    # Headline set: one per operator family (pipeline, extract, link, canon,
+    # search, graph, aggs, dedup, text-analysis). Full set via env override.
+    headline = bench_queries or [
+        "kg_edges",
+        "mentions",
+        "link_exact",
+        "canonical_map",
+        "cosine_topk",
+        "hybrid_search",
+        "bfs_depth2",
+        "tool_hierarchy",
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "ann_lsh_topk",
+        "text_quality",
+        "doc_fingerprint",
+    ]
+    headline = [q for q in headline if q in qs]
+
+    timings: dict[str, float] = {}
+    # Warm-up: JVM + Arrow + Python worker pool, not measured.
+    _force(qs["call_triples"](spark, sf_dir).limit(1000))
+
+    for name in headline:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    pipeline_sec = timings.get("kg_edges", sum(timings.values()) or 1.0)
+    turns_per_sec = round(n_turns / pipeline_sec, 1)
+
+    sf = 0.1
+    for tok in sf_dir.replace("/", " ").split():
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "turns_per_sec",
+                "value": turns_per_sec,
+                "unit": "turns/sec",
+                "queries": timings,
+                "sf": sf,
+                "n_turns": n_turns,
+                "cpus": cpus,
+                "pipeline_sec": pipeline_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,428 @@
+"""Deduplication operators — the training-data-pipeline extension.
+
+The reference dedups at three granularities: content-hash embedding reuse
+(/root/reference/store/store.go:105-109, indexer/indexer.go:352-417), reference
+row dedup by composite key (trace/extractor.go:1017-1035), and blocked Jaccard
+similarity for near-duplicate features (rpg/indexer.go:496-518,700-757). This
+module generalizes those into the dedup family a 100 TB corpus pipeline needs:
+
+* exact dedup            — sha256 groupBy (the content-hash path, scaled out)
+* n-gram Jaccard pairs   — inverted-index candidate join + exact verify
+* MinHash + LSH pairs    — banding prefilter (sublinear candidates) + verify
+* SimHash pairs          — 32-bit signature, banded hamming<=k candidates
+
+Every candidate generator is an equi-join (shuffle on a well-distributed key:
+shingle, band key, or signature band) — never an O(n^2) cross join. Hub
+shingles are capped by document frequency (the reference's block-cap idea,
+rpg/indexer.go:20) so one ubiquitous shingle cannot create a quadratic pair
+explosion at scale; correctness is preserved because candidates are verified
+with the exact Jaccard afterwards.
+
+Hash parity: md5/sha256 hex strings are bit-identical between Spark and
+DuckDB, so MinHash minima (lexicographic min over md5 hex) and SimHash bits
+(hex-digit >= '8') replay exactly in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+DF_CAP = 100  # max docs sharing a shingle before it is dropped as a hub
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+JACCARD_THRESHOLD = 0.5  # mirrors /root/reference/rpg/indexer.go:19
+
+
+# ---------------------------------------------------------------------------
+# dual-dialect SQL fragments (spark | duckdb)
+# ---------------------------------------------------------------------------
+
+def tokens_sql(col: str, dialect: str = "spark") -> str:
+    """Lowercase word tokens, surface order, empties dropped."""
+    if dialect == "spark":
+        return f"filter(split(lower({col}), '[^0-9a-z]+'), x -> x != '')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '[^0-9a-z]+'),"
+        f" x -> x != '')"
+    )
+
+
+def shingles_sql(col: str, n: int = SHINGLE_N, dialect: str = "spark") -> str:
+    """Distinct word n-gram shingles of the text column."""
+    toks = tokens_sql(col, dialect)
+    if dialect == "spark":
+        grams = (
+            f"CASE WHEN size({toks}) < {n} THEN CAST(array() AS array<string>) "
+            f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+        )
+        return f"array_distinct({grams})"
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 2}, 1)), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+    return f"list_distinct({grams})"
+
+
+def minhash_sql(sh_col: str, seed: int, dialect: str = "spark") -> str:
+    """MinHash_seed(shingles) = lexicographic min of md5('<seed>:'||g).
+
+    md5 hex strings are identical across engines, so so are their minima.
+    """
+    if dialect == "spark":
+        return (
+            f"array_min(transform({sh_col}, g -> md5(concat('{seed}:', g))))"
+        )
+    return (
+        f"list_aggregate(list_transform({sh_col},"
+        f" g -> md5('{seed}:' || g)), 'min')"
+    )
+
+
+def simhash_sql(sh_col: str, bits: int = SIMHASH_BITS, dialect: str = "spark") -> str:
+    """32-bit SimHash over a shingle set as a '01' string.
+
+    Bit j uses hex digit j of md5(shingle): digit >= '8' contributes +1, else
+    -1; the signature bit is the sign of the sum. Expressed with only
+    filter/size so both engines evaluate it identically.
+    """
+    if dialect == "spark":
+        bit = (
+            f"IF(2 * size(filter({sh_col}, g -> substring(md5(g), j, 1) >= '8'))"
+            f" >= size({sh_col}), '1', '0')"
+        )
+        return f"concat_ws('', transform(sequence(1, {bits}), j -> {bit}))"
+    bit = (
+        f"CASE WHEN 2 * len(list_filter({sh_col}, g -> substr(md5(g), j, 1) >= '8'))"
+        f" >= len({sh_col}) THEN '1' ELSE '0' END"
+    )
+    return (
+        f"array_to_string(list_transform(range(1, {bits + 1}), j -> {bit}), '')"
+    )
+
+
+def hamming_sql(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
+    """Hamming distance between two equal-length '01' strings (both dialects)."""
+    terms = " + ".join(
+        f"CASE WHEN substr({a}, {j}, 1) = substr({b}, {j}, 1) THEN 0 ELSE 1 END"
+        for j in range(1, bits + 1)
+    )
+    return f"({terms})"
+
+
+def set_jaccard_sql(a: str, b: str, dialect: str = "spark") -> str:
+    """Jaccard over two already-distinct string arrays."""
+    if dialect == "spark":
+        return (
+            f"CAST(size(array_intersect({a}, {b})) AS DOUBLE)"
+            f" / CAST(size(array_union({a}, {b})) AS DOUBLE)"
+        )
+    return (
+        f"CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        f" / CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact duplicate groups by sha256(text): (content_hash, n_copies,
+    keeper keys). Only groups with >1 copy are returned.
+
+    One shuffle on content_hash (uniform key — no skew by construction); the
+    window and count share the same partitioning so Catalyst plans a single
+    exchange. This is the 10^12-row analog of the reference's content-hash
+    skip (/root/reference/indexer/indexer.go:161-164).
+    """
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    h = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_hash")
+    wo = w.orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        h.withColumn("n_copies", F.count("*").over(w))
+        .withColumn("_rn", F.row_number().over(wo))
+        .where((F.col("_rn") == 1) & (F.col("n_copies") > 1))
+        .select(
+            "content_hash",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            *[F.col(c).alias(f"keep_{c}") for c in order_cols],
+        )
+    )
+
+
+def with_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    return docs.withColumn("shingles", F.expr(shingles_sql(text_col, n)))
+
+
+def _verified_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Join candidate id pairs back to shingle sets and verify exact Jaccard."""
+    sa = sh.select(
+        F.col(id_col).alias("a_id"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col(id_col).alias("b_id"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.expr(set_jaccard_sql("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("_jac_raw", jac)
+        .where(F.col("_jac_raw") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("_jac_raw", 6).alias("jac"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    df_cap: int = DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Candidates come from an inverted-index equi-join on shingle (docs sharing
+    >=1 non-hub shingle) — never a cross join. Shingles appearing in more than
+    `df_cap` docs are dropped from candidate generation only (exact verify
+    restores correctness for every surviving candidate); a pair sharing ONLY
+    hub shingles has Jaccard <= cap-robust bound anyway at realistic doc sizes.
+    """
+    sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+    posting = sh.select(
+        F.col(id_col), F.explode("shingles").alias("g")
+    )
+    non_hub = (
+        posting.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("g")
+    )
+    posting = posting.join(non_hub, "g")
+    a = posting.select(F.col("g"), F.col(id_col).alias("a_id"))
+    b = posting.select(F.col("g"), F.col(id_col).alias("b_id"))
+    cand = (
+        a.join(b, "g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _verified_pairs(cand, sh, threshold, id_col)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS,
+    n: int = SHINGLE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    bands=4 x rows=2 puts the S-curve threshold at (1/4)^(1/2) = 0.5 — matched
+    to the reference's Jaccard threshold (rpg/indexer.go:19). Candidates =
+    pairs sharing any band key; the band join is an equi-join on an
+    (almost) uniformly distributed 2x-md5 key, so it shuffles evenly at any
+    scale. Verification makes the banding a pure recall/efficiency knob.
+    """
+    sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+    ne = sh.where(F.size("shingles") > 0)
+    band_keys = []
+    for bnd in range(bands):
+        parts = [
+            F.expr(minhash_sql("shingles", bnd * rows_per_band + r))
+            for r in range(rows_per_band)
+        ]
+        band_keys.append(F.concat_ws("|", F.lit(str(bnd)), *parts))
+    banded = ne.select(
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
+    )
+    a = banded.select(F.col("band_key"), F.col(id_col).alias("a_id"))
+    b = banded.select(F.col("band_key"), F.col(id_col).alias("b_id"))
+    cand = (
+        a.join(b, "band_key")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _verified_pairs(cand, sh, threshold, id_col)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    n: int = SHINGLE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 32-bit signature into `bands` blocks; any
+    pair within hamming <= bands-1 shares at least one identical block, so a
+    per-block equi-join finds all candidates without a cross join. The exact
+    hamming check then filters. Returns (a_id, b_id, hamming).
+    """
+    assert max_hamming <= bands - 1, "pigeonhole requires max_hamming < bands"
+    sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+    sig = sh.where(F.size("shingles") > 0).select(
+        F.col(id_col), F.expr(simhash_sql("shingles", bits)).alias("sig")
+    )
+    block = bits // bands
+    keys = [
+        F.concat_ws(
+            "|", F.lit(str(bnd)), F.substring("sig", bnd * block + 1, block)
+        )
+        for bnd in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), "sig", F.explode(F.array(*keys)).alias("bk")
+    )
+    a = banded.select(
+        "bk", F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a")
+    )
+    b = banded.select(
+        "bk", F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b")
+    )
+    ham = F.expr(hamming_sql("sig_a", "sig_b", bits))
+    return (
+        a.join(b, "bk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (independent declarative re-derivations)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_oracle(transcripts_rel: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT conv_id, turn_idx, sha256(text) AS content_hash
+  FROM ({transcripts_rel}) t
+), g AS (
+  SELECT content_hash, conv_id, turn_idx,
+         count(*) OVER (PARTITION BY content_hash) AS n_copies,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY conv_id, turn_idx) AS rn
+  FROM h
+)
+SELECT content_hash, CAST(n_copies AS BIGINT) AS n_copies,
+       conv_id AS keep_conv_id, turn_idx AS keep_turn_idx
+FROM g WHERE rn = 1 AND n_copies > 1
+""".strip()
+
+
+def _doc_shingles_cte(n: int = SHINGLE_N) -> str:
+    return (
+        f"sh AS (SELECT doc_id, {shingles_sql('text', n, 'duckdb')} AS shingles"
+        f" FROM documents)"
+    )
+
+
+def _verify_sql(cand_cte: str, threshold: float, n: int) -> str:
+    jac = set_jaccard_sql("sa.shingles", "sb.shingles", "duckdb")
+    return f"""
+WITH {_doc_shingles_cte(n)},
+{cand_cte}
+SELECT c.a_id, c.b_id, round({jac}, 6) AS jac
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.a_id
+JOIN sh sb ON sb.doc_id = c.b_id
+WHERE {jac} >= {threshold}
+""".strip()
+
+
+def ngram_jaccard_pairs_oracle(
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    df_cap: int = DF_CAP,
+) -> str:
+    cand = f"""
+posting AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh
+),
+non_hub AS (
+  SELECT g FROM posting GROUP BY g HAVING count(*) <= {df_cap}
+),
+p2 AS (SELECT p.doc_id, p.g FROM posting p JOIN non_hub USING (g)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM p2 a JOIN p2 b ON a.g = b.g AND a.doc_id < b.doc_id
+)""".strip()
+    return _verify_sql(cand, threshold, n)
+
+
+def minhash_lsh_pairs_oracle(
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS,
+    n: int = SHINGLE_N,
+) -> str:
+    keys = []
+    for bnd in range(bands):
+        parts = " || '|' || ".join(
+            minhash_sql("shingles", bnd * rows_per_band + r, "duckdb")
+            for r in range(rows_per_band)
+        )
+        keys.append(f"'{bnd}|' || {parts}")
+    key_list = ", ".join(keys)
+    cand = f"""
+banded AS (
+  SELECT doc_id, unnest([{key_list}]) AS band_key
+  FROM sh WHERE len(shingles) > 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)""".strip()
+    return _verify_sql(cand, threshold, n)
+
+
+def simhash_pairs_oracle(
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    n: int = SHINGLE_N,
+) -> str:
+    block = bits // bands
+    keys = ", ".join(
+        f"'{bnd}|' || substr(sig, {bnd * block + 1}, {block})"
+        for bnd in range(bands)
+    )
+    ham = hamming_sql("a.sig", "b.sig", bits)
+    return f"""
+WITH {_doc_shingles_cte(n)},
+sig AS (
+  SELECT doc_id, {simhash_sql('shingles', bits, 'duckdb')} AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+banded AS (SELECT doc_id, sig, unnest([{keys}]) AS bk FROM sig)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST({ham} AS INT) AS hamming
+FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+""".strip()
