@@ -70,14 +70,20 @@ def main() -> None:
     ]
     headline = [q for q in headline if q in qs]
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     # Warm-up: JVM + Arrow + Python worker pool, not measured.
     _force(qs["call_triples"](spark, sf_dir).limit(1000))
 
     for name in headline:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        # min over repeats: the sandbox is a shared-host VM with multi-second
+        # scheduling noise; min is the steady-state cost estimate.
+        timings[name] = round(best, 3)
 
     pipeline_sec = timings.get("kg_edges", sum(timings.values()) or 1.0)
     turns_per_sec = round(n_turns / pipeline_sec, 1)

@@ -69,15 +69,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# Below this many edges the graph fits comfortably on the driver; a
+# collect + union-find beats ~10 shuffle jobs of star-iteration overhead.
+# Same two-regime logic as broadcast-vs-shuffle join selection: the
+# distributed large-star/small-star loop is the corpus-scale path, this is
+# the dictionary-scale path. Results are identical (component = min id).
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _union_find_components(rows: list, spark) -> DataFrame:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            # min-id root keeps the component id convention identical to the
+            # distributed fixpoint
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = {x for r in rows for x in (r[0], r[1])}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(
+        out, "node string, component string"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 3,
+    small_cutoff: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) for every node appearing in edges.
 
     Isolated nodes don't appear; callers union them back (component = self).
     """
+    if small_cutoff:
+        head = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .limit(small_cutoff + 1)
+            .collect()
+        )
+        if len(head) <= small_cutoff:
+            return _union_find_components(head, edges.sparkSession)
+
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -52,16 +52,27 @@ def tokens_sql(col: str, dialect: str = "spark") -> str:
     )
 
 
+def shingles_from_tokens_sql(toks: str, n: int = SHINGLE_N) -> str:
+    """Spark shingle expression over an ALREADY-BOUND token array column.
+
+    Keeping tokenization in its own projection matters: inlining the
+    regex-split expression here would re-evaluate it inside the per-shingle
+    lambda (Catalyst cannot hoist subexpressions out of higher-order
+    functions) — measured 10x slower at sf0.1.
+    """
+    return (
+        f"array_distinct(CASE WHEN size({toks}) < {n}"
+        f" THEN CAST(array() AS array<string>)"
+        f" ELSE transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))) END)"
+    )
+
+
 def shingles_sql(col: str, n: int = SHINGLE_N, dialect: str = "spark") -> str:
     """Distinct word n-gram shingles of the text column."""
     toks = tokens_sql(col, dialect)
     if dialect == "spark":
-        grams = (
-            f"CASE WHEN size({toks}) < {n} THEN CAST(array() AS array<string>) "
-            f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
-            f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
-        )
-        return f"array_distinct({grams})"
+        return shingles_from_tokens_sql(toks, n)
     grams = (
         f"list_transform(range(1, greatest(len({toks}) - {n - 2}, 1)), "
         f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
@@ -164,7 +175,72 @@ def dedup_exact(
 def with_shingles(
     docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N
 ) -> DataFrame:
-    return docs.withColumn("shingles", F.expr(shingles_sql(text_col, n)))
+    """Two projections on purpose — see shingles_from_tokens_sql."""
+    return (
+        docs.withColumn("_toks", F.expr(tokens_sql(text_col)))
+        .withColumn("shingles", F.expr(shingles_from_tokens_sql("_toks", n)))
+        .drop("_toks")
+    )
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    key: str,
+    id_col: str,
+    cap: int = DF_CAP,
+) -> DataFrame:
+    """Candidate id pairs per bucket, in ONE pass over the bucketed rows.
+
+    groupBy(bucket) + in-bucket pair expansion replaces a self-join that
+    would re-execute the (hashing) producer plan twice. Bucket membership is
+    capped deterministically (sorted ids, first `cap`) — the reference's
+    block-cap skew guard (/root/reference/rpg/indexer.go:20) — so one hot
+    bucket can never go quadratic at corpus scale.
+    """
+    grp = (
+        banded.groupBy(key)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(F.col(id_col))), 1, cap
+            ).alias("ids")
+        )
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids,"
+        " y -> named_struct('a_id', x, 'b_id', y)))), p -> p.a_id < p.b_id)"
+    )
+    return (
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def _bucket_pair_counts(
+    posting: DataFrame, key: str, id_col: str
+) -> DataFrame:
+    """(a_id, b_id, shared): number of buckets each pair co-occurs in.
+
+    Same one-pass bucket expansion as _bucket_pairs but keeping multiplicity
+    (used by count-based Jaccard). Buckets here are already bounded by the
+    caller's df_cap filter, so no extra cap is applied — pair counts stay
+    exact."""
+    grp = (
+        posting.groupBy(key)
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids,"
+        " y -> named_struct('a_id', x, 'b_id', y)))), p -> p.a_id < p.b_id)"
+    )
+    return (
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
 
 
 def _verified_pairs(
@@ -195,13 +271,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold, computed over
+    the STOP-SHINGLE-FILTERED sets (shingles in more than `df_cap` docs are
+    removed for everyone — they carry no discriminative signal and would make
+    one inverted-index bucket quadratic at corpus scale).
 
-    Candidates come from an inverted-index equi-join on shingle (docs sharing
-    >=1 non-hub shingle) — never a cross join. Shingles appearing in more than
-    `df_cap` docs are dropped from candidate generation only (exact verify
-    restores correctness for every surviving candidate); a pair sharing ONLY
-    hub shingles has Jaccard <= cap-robust bound anyway at realistic doc sizes.
+    Count-based exact Jaccard: shared = co-occurrence count per pair from the
+    inverted index, |A∪B| = |A|+|B|-shared. No shingle arrays are ever
+    materialized per pair — the whole operator is explode -> two groupBys ->
+    one size join, all map-side-combinable shuffles on uniform keys.
     """
     sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
     posting = sh.select(
@@ -213,16 +291,23 @@ def ngram_jaccard_pairs(
         .where(F.col("df") <= df_cap)
         .select("g")
     )
-    posting = posting.join(non_hub, "g")
-    a = posting.select(F.col("g"), F.col(id_col).alias("a_id"))
-    b = posting.select(F.col("g"), F.col(id_col).alias("b_id"))
-    cand = (
-        a.join(b, "g")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
+    p2 = posting.join(non_hub, "g")
+    sizes = p2.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    shared = _bucket_pair_counts(p2, "g", id_col)
+    sa = sizes.select(
+        F.col(id_col).alias("a_id"), F.col("n_sh").alias("na")
     )
-    return _verified_pairs(cand, sh, threshold, id_col)
+    sb = sizes.select(
+        F.col(id_col).alias("b_id"), F.col("n_sh").alias("nb")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("_jac_raw", jac)
+        .where(F.col("_jac_raw") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("_jac_raw", 6).alias("jac"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -242,26 +327,39 @@ def minhash_lsh_pairs(
     (almost) uniformly distributed 2x-md5 key, so it shuffles evenly at any
     scale. Verification makes the banding a pure recall/efficiency knob.
     """
+    n_hashes = bands * rows_per_band
     sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
-    ne = sh.where(F.size("shingles") > 0)
-    band_keys = []
-    for bnd in range(bands):
-        parts = [
-            F.expr(minhash_sql("shingles", bnd * rows_per_band + r))
-            for r in range(rows_per_band)
-        ]
-        band_keys.append(F.concat_ws("|", F.lit(str(bnd)), *parts))
-    banded = ne.select(
+    # Hashing happens on the EXPLODED posting list in a flat projection —
+    # md5 inside a higher-order-function lambda is interpreted row-at-a-time
+    # (no codegen); explode + groupBy(min) keeps it in WholeStageCodegen and
+    # the min() agg combines map-side, so the shuffle carries only
+    # n_docs x n_hashes tiny rows.
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
+    hashed = posting.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("g"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    sigs = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    )
+    band_keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(bnd)),
+            *[
+                F.col(f"mh{bnd * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ],
+        )
+        for bnd in range(bands)
+    ]
+    banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key")
     )
-    a = banded.select(F.col("band_key"), F.col(id_col).alias("a_id"))
-    b = banded.select(F.col("band_key"), F.col(id_col).alias("b_id"))
-    cand = (
-        a.join(b, "band_key")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    cand = _bucket_pairs(banded, "band_key", id_col, cap=DF_CAP)
     return _verified_pairs(cand, sh, threshold, id_col)
 
 
@@ -283,8 +381,28 @@ def simhash_pairs(
     """
     assert max_hamming <= bands - 1, "pigeonhole requires max_hamming < bands"
     sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
-    sig = sh.where(F.size("shingles") > 0).select(
-        F.col(id_col), F.expr(simhash_sql("shingles", bits)).alias("sig")
+    # Same codegen strategy as minhash_lsh_pairs: ONE md5 per shingle in a
+    # flat projection, then 32 conditional sums in a map-side-combining agg —
+    # never a per-bit rescan of the shingle array in an interpreted lambda.
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
+    hashed = posting.select(F.col(id_col), F.md5("g").alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        F.count("*").alias("n_sh"),
+        *[
+            F.sum(
+                F.when(F.substring("h", j, 1) >= "8", 1).otherwise(0)
+            ).alias(f"c{j}")
+            for j in range(1, bits + 1)
+        ],
+    )
+    sig = bit_sums.select(
+        F.col(id_col),
+        F.concat(
+            *[
+                F.when(2 * F.col(f"c{j}") >= F.col("n_sh"), "1").otherwise("0")
+                for j in range(1, bits + 1)
+            ]
+        ).alias("sig"),
     )
     block = bits // bands
     keys = [
@@ -296,20 +414,39 @@ def simhash_pairs(
     banded = sig.select(
         F.col(id_col), "sig", F.explode(F.array(*keys)).alias("bk")
     )
-    a = banded.select(
-        "bk", F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a")
+    # one-pass bucket pair expansion carrying signatures (see _bucket_pairs);
+    # structs sort by doc id first, so the cap is the same deterministic
+    # first-`cap`-ids rule as everywhere else.
+    grp = (
+        banded.groupBy("bk")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(
+                        F.struct(
+                            F.col(id_col).alias("doc"), F.col("sig").alias("s")
+                        )
+                    )
+                ),
+                1,
+                DF_CAP,
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
     )
-    b = banded.select(
-        "bk", F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b")
+    pairs = F.expr(
+        "filter(flatten(transform(ms, x -> transform(ms, y -> named_struct("
+        "'a_id', x.doc, 'b_id', y.doc, 'sig_a', x.s, 'sig_b', y.s)))),"
+        " p -> p.a_id < p.b_id)"
     )
     ham = F.expr(hamming_sql("sig_a", "sig_b", bits))
     return (
-        a.join(b, "bk")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", ham.alias("hamming"))
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id", "p.sig_a", "p.sig_b")
+        .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])
-        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+        .select("a_id", "b_id", "hamming")
     )
 
 
@@ -360,7 +497,8 @@ def ngram_jaccard_pairs_oracle(
     n: int = SHINGLE_N,
     df_cap: int = DF_CAP,
 ) -> str:
-    cand = f"""
+    return f"""
+WITH {_doc_shingles_cte(n)},
 posting AS (
   SELECT doc_id, unnest(shingles) AS g FROM sh
 ),
@@ -368,11 +506,19 @@ non_hub AS (
   SELECT g FROM posting GROUP BY g HAVING count(*) <= {df_cap}
 ),
 p2 AS (SELECT p.doc_id, p.g FROM posting p JOIN non_hub USING (g)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM p2 GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
   FROM p2 a JOIN p2 b ON a.g = b.g AND a.doc_id < b.doc_id
-)""".strip()
-    return _verify_sql(cand, threshold, n)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.a_id, s.b_id,
+       round(CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared), 6) AS jac
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.a_id
+JOIN sizes sb ON sb.doc_id = s.b_id
+WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= {threshold}
+""".strip()
 
 
 def minhash_lsh_pairs_oracle(
@@ -394,10 +540,16 @@ banded AS (
   SELECT doc_id, unnest([{key_list}]) AS band_key
   FROM sh WHERE len(shingles) > 0
 ),
+capped AS (
+  SELECT band_key, doc_id,
+         row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT band_key, doc_id FROM banded)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.rn <= {DF_CAP} AND b.rn <= {DF_CAP}
 )""".strip()
     return _verify_sql(cand, threshold, n)
 
@@ -420,9 +572,14 @@ sig AS (
   SELECT doc_id, {simhash_sql('shingles', bits, 'duckdb')} AS sig
   FROM sh WHERE len(shingles) > 0
 ),
-banded AS (SELECT doc_id, sig, unnest([{keys}]) AS bk FROM sig)
+banded AS (SELECT doc_id, sig, unnest([{keys}]) AS bk FROM sig),
+capped AS (
+  SELECT bk, doc_id, sig,
+         row_number() OVER (PARTITION BY bk ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT bk, doc_id, sig FROM banded)
+)
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST({ham} AS INT) AS hamming
-FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
-WHERE {ham} <= {max_hamming}
+FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE a.rn <= {DF_CAP} AND b.rn <= {DF_CAP} AND {ham} <= {max_hamming}
 """.strip()

@@ -70,24 +70,43 @@ def _make_mention_detector(aliases: list[str]):
     O(|aliases|) vectorized passes per batch, not per row.
     """
     ordered = sorted(set(aliases))
-    patterns = [re.compile(r"\b" + re.escape(a) + r"\b") for a in ordered]
+    if not ordered:
+        @F.pandas_udf(ArrayType(_MENTION_ELEM))
+        def detect_none(texts: pd.Series) -> pd.Series:
+            return pd.Series([[] for _ in range(len(texts))])
+
+        return detect_none
+
+    # ONE combined word-boundary alternation — a single scan per text instead
+    # of |aliases| vectorized passes. Longest-first ordering plus the trailing
+    # \b make overlapping aliases (QueryParser vs QueryParserFast) resolve by
+    # backtracking, identical to per-alias matching.
+    by_len = sorted(ordered, key=len, reverse=True)
+    combined = re.compile(
+        r"\b(?:" + "|".join(re.escape(a) for a in by_len) + r")\b"
+    )
 
     @F.pandas_udf(ArrayType(_MENTION_ELEM))
     def detect(texts: pd.Series) -> pd.Series:
-        t = texts.fillna("")
-        hits = []
-        for a, p in zip(ordered, patterns):
-            mask = t.str.contains(p, regex=True)
-            pos = t.str.find(a) + 1  # 1-based like SQL strpos
-            hits.append((a, mask, pos))
         out = []
-        for i in range(len(t)):
-            row = [
-                {"mention": a, "pos": int(pos.iloc[i])}
-                for a, mask, pos in hits
-                if mask.iloc[i]
-            ]
-            out.append(row)
+        empty: list[dict] = []
+        for text in texts.fillna(""):
+            if not text:
+                out.append(empty)
+                continue
+            found: dict[str, int] = {}
+            for m in combined.finditer(text):
+                a = m.group(0)
+                if a not in found:
+                    # pos = 1-based FIRST LITERAL occurrence (matches the
+                    # oracle's strpos/instr), which may precede the first
+                    # boundary match when the alias is embedded earlier.
+                    found[a] = text.find(a) + 1
+                    if len(found) == len(ordered):
+                        break
+            out.append(
+                [{"mention": a, "pos": p} for a, p in sorted(found.items())]
+            )
         return pd.Series(out)
 
     return detect

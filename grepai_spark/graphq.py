@@ -72,7 +72,10 @@ def bfs(
     # hub guard: degree pre-computation, expansion skips heavy nodes
     deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
     expandable = deg.where(F.col("deg") <= hub_cap).select("a")
-    adj_ok = adj.join(expandable, "a")
+    # Materialize the (small) adjacency once: every hop below re-joins it,
+    # and without this the full upstream pipeline (UDF extract, linking, CC)
+    # would be re-executed per depth level.
+    adj_ok = adj.join(expandable, "a").localCheckpoint(eager=True)
 
     spark = edges.sparkSession
     visited = spark.createDataFrame([(seed, 0)], ["node", "depth"])

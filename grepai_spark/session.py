@@ -31,6 +31,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
+        # below every explode; when the array comes from an expensive
+        # higher-order-function expression (shingling, minhash), that filter
+        # re-evaluates the whole interpreted lambda 2x more per row — measured
+        # 3-4x slowdown on the dedup family at sf0.1. The rows it would prune
+        # are exploded away anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size is the analog of the reference's embed-batch caps

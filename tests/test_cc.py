@@ -28,6 +28,8 @@ def _uf_components(edges, nodes):
 
 
 def test_cc_random_graphs(spark):
+    """Both regimes — driver union-find fast path (small_cutoff default) and
+    the distributed star loop (small_cutoff=0) — must agree with the oracle."""
     rng = random.Random(42)
     for trial in range(3):
         n = 60
@@ -37,13 +39,15 @@ def test_cc_random_graphs(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, ["src", "dst"])
-        got = {
-            r["node"]: r["component"]
-            for r in connected_components(df).collect()
-        }
         touched = {x for e in edges for x in e}
         want = _uf_components(edges, sorted(touched))
-        assert got == want, f"trial {trial}"
+        for cutoff in (None, 0):
+            kw = {} if cutoff is None else {"small_cutoff": 0}
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(df, **kw).collect()
+            }
+            assert got == want, f"trial {trial} cutoff {cutoff}"
 
 
 def test_cc_chain_and_cycle(spark):
@@ -51,9 +55,13 @@ def test_cc_chain_and_cycle(spark):
     chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(20)]
     cycle = [("z1", "z2"), ("z2", "z3"), ("z3", "z1")]
     df = spark.createDataFrame(chain + cycle, ["src", "dst"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
-    assert all(got[f"c{i:02d}"] == "c00" for i in range(21))
-    assert got["z1"] == got["z2"] == got["z3"] == "z1"
+    for cutoff in ({}, {"small_cutoff": 0}):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, **cutoff).collect()
+        }
+        assert all(got[f"c{i:02d}"] == "c00" for i in range(21))
+        assert got["z1"] == got["z2"] == got["z3"] == "z1"
 
 
 def test_canonical_map_merges_query_parser(spark):
