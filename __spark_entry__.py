@@ -175,6 +175,40 @@ def _q_cluster_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.cluster_mentions(_q_mentions(spark, sf_dir))
 
 
+FETCH_SEED = "e_parse_query"  # canonical id of the merged parse-query component
+
+
+def _q_mention_tool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    return link.mention_tool_overlap(
+        extract.detect_mentions(t, alias_dict_df(spark)),
+        extract.call_triples(t),
+    )
+
+
+def _q_conv_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grepai_spark.materialize import conv_comention_edges
+
+    edges = _kg_edges(spark, sf_dir)
+    return conv_comention_edges(edges)
+
+
+def _q_fetch_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.fetch_node(
+        pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
+        _kg_edges(spark, sf_dir),
+        FETCH_SEED,
+    )
+
+
+def _q_enrich_area_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggs.enrich_area_labels(load_transcripts(spark, sf_dir))
+
+
+def _q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract.chunk_turns(load_transcripts(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (dedup / ANN / text analysis / multimodal)
 # --------------------------------------------------------------------------
@@ -271,6 +305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "tool_hierarchy": _q_tool_hierarchy,
         "cluster_mentions": _q_cluster_mentions,
+        "mention_tool_overlap": _q_mention_tool_overlap,
+        "conv_comention": _q_conv_comention,
+        "fetch_node": _q_fetch_node,
+        "enrich_area_labels": _q_enrich_area_labels,
+        "chunk_turns": _q_chunk_turns,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_pairs": _q_dedup_ngram,
         "dedup_minhash_pairs": _q_dedup_minhash,
@@ -322,6 +361,11 @@ def oracle_sql() -> dict[str, str]:
         "index_stats": oracles.index_stats_oracle(),
         "tool_hierarchy": oracles.tool_hierarchy_oracle(),
         "cluster_mentions": oracles.cluster_mentions_oracle(),
+        "mention_tool_overlap": oracles.mention_tool_overlap_oracle(),
+        "conv_comention": oracles.conv_comention_oracle(),
+        "fetch_node": oracles.fetch_node_oracle(FETCH_SEED),
+        "enrich_area_labels": oracles.enrich_area_labels_oracle(),
+        "chunk_turns": oracles.chunk_turns_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(oracles.TRANSCRIPTS_REL),
         "dedup_ngram_pairs": dedup.ngram_jaccard_pairs_oracle(),
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs_oracle(),

@@ -85,6 +85,39 @@ def tool_hierarchy(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def enrich_area_labels(transcripts: DataFrame, top_n: int = 3) -> DataFrame:
+    """H4 EnrichLabels analog (/root/reference/rpg/hierarchy.go:425-447):
+    each tool area's label gets its top-N tools by call count appended —
+    'payments: charge, refund, ...'. Deterministic ordering (count desc,
+    name asc) like every reference top-N."""
+    t = transcripts.where(F.col("tool") != "").select(
+        F.split(F.col("tool"), r"\.")[0].alias("area"),
+        F.split(F.col("tool"), r"\.")[1].alias("short"),
+    )
+    counts = t.groupBy("area", "short").agg(F.count("*").alias("n_calls"))
+    w = Window.partitionBy("area").orderBy(F.desc("n_calls"), F.asc("short"))
+    top = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= top_n
+    )
+    return (
+        top.groupBy("area")
+        .agg(
+            # collect (rn, short) structs and sort: collect_list order is
+            # shuffle-dependent, the struct sort restores determinism
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(rn, short))), s -> s.short)"),
+                ", ",
+            ).alias("top_tools"),
+            F.sum("n_calls").cast("long").alias("n_calls_top"),
+        )
+        .select(
+            "area",
+            F.concat_ws(": ", "area", "top_tools").alias("label"),
+            "n_calls_top",
+        )
+    )
+
+
 def cluster_mentions(mentions: DataFrame) -> DataFrame:
     """H2 ClusterSymbols analog: group mention surfaces by cluster key =
     first normalized token; subcategory label = normalized key."""

@@ -149,6 +149,67 @@ def detect_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_CHARS = 2048  # 512 tokens x 4 chars/token (ref: indexer/chunker.go:11-15)
+CHUNK_OVERLAP = 200  # 50 tokens x 4
+
+
+def chunk_turns(
+    transcripts: DataFrame,
+    win: int = CHUNK_CHARS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Optional C1 analog: overlapping char windows over long turns
+    (/root/reference/indexer/chunker.go:59-131). A turn is the natural unit
+    for the KG pipeline; this exists for embedding very long turns. Pure
+    posexplode + substring — narrow, codegen, no shuffle."""
+    step = win - overlap
+    n = (
+        f"CASE WHEN length(text) <= {win} THEN 1 "
+        f"ELSE CAST(ceil((length(text) - {win}) / CAST({step} AS DOUBLE)) AS INT) + 1 END"
+    )
+    exploded = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.posexplode(F.expr(f"sequence(0, {n} - 1)")).alias("chunk_idx", "_i"),
+    )
+    return exploded.select(
+        "conv_id",
+        "turn_idx",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.expr(f"substring(text, chunk_idx * {step} + 1, {win})").alias(
+            "chunk_text"
+        ),
+        F.expr(
+            f"sha2(substring(text, chunk_idx * {step} + 1, {win}), 256)"
+        ).alias("chunk_hash"),
+    )
+
+
+def chunk_turns_oracle_sql(
+    transcripts_rel: str,
+    win: int = CHUNK_CHARS,
+    overlap: int = CHUNK_OVERLAP,
+) -> str:
+    step = win - overlap
+    n = (
+        f"CASE WHEN length(text) <= {win} THEN 1 "
+        f"ELSE CAST(ceil((length(text) - {win}) / CAST({step} AS DOUBLE)) AS INT) + 1 END"
+    )
+    return f"""
+WITH t AS ({transcripts_rel}),
+e AS (
+  SELECT conv_id, turn_idx, text,
+         unnest(range(0, {n})) AS chunk_idx
+  FROM t
+)
+SELECT conv_id, turn_idx, CAST(chunk_idx AS INT) AS chunk_idx,
+       substr(text, CAST(chunk_idx AS INT) * {step} + 1, {win}) AS chunk_text,
+       sha256(substr(text, CAST(chunk_idx AS INT) * {step} + 1, {win})) AS chunk_hash
+FROM e
+""".strip()
+
+
 def mentions_oracle_sql(transcripts_rel: str, dialect: str) -> str:
     """Equivalent SQL (runs on Spark or DuckDB): join against the inline alias
     dictionary with a word-boundary regex — same semantics as the UDF."""

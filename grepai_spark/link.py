@@ -86,6 +86,49 @@ def alias_similarity_edges(
     )
 
 
+def mention_tool_overlap(
+    mentions: DataFrame,
+    calls: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """Range join (L3 analog): link each in-text mention to tool invocations
+    within ±`window` turns of it in the SAME conversation — the
+    line-range-overlap join that maps chunks to symbols in the reference
+    (/root/reference/rpg/indexer.go:387-442, predicate rpg/indexer.go:473-475).
+
+    Plan shape: equi-join on conv_id + a band predicate on turn_idx. The
+    equi key carries the shuffle (co-partitioning both sides by conv_id);
+    the band condition evaluates inside the join — no cross product. At
+    corpus scale both sides are bucketed by conv_id so this is a local join
+    per bucket; AQE splits any mega-thread partition.
+    """
+    m = mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("m_turn"),
+        "mention",
+    )
+    c = calls.select(
+        "conv_id",
+        F.col("turn_idx").alias("t_turn"),
+        F.col("obj").alias("tool"),
+    )
+    return (
+        m.join(c, "conv_id")
+        .where(
+            (F.col("t_turn") >= F.col("m_turn") - window)
+            & (F.col("t_turn") <= F.col("m_turn") + window)
+        )
+        .select(
+            "conv_id",
+            "m_turn",
+            "mention",
+            "t_turn",
+            "tool",
+            F.abs(F.col("t_turn") - F.col("m_turn")).cast("int").alias("dist"),
+        )
+    )
+
+
 def minhash_block_key(
     df: DataFrame,
     tokens_col: str = "norm_tokens",

@@ -61,6 +61,53 @@ def build_vertices(
     )
 
 
+def conv_comention_edges(
+    mention_triples: DataFrame,
+    hub_cap: int = 50,
+) -> DataFrame:
+    """Conversation-level (conv_a)-[:mentions_with]->(conv_b) edges weighted
+    by the number of canonical entities both conversations mention — the
+    import-edge derivation analog (distinct cross-file pairs from invoke
+    edges, /root/reference/rpg/indexer.go:600-644).
+
+    Entities mentioned in more than `hub_cap` conversations are skipped
+    before pair expansion (the reference's hub guard, rpg/indexer.go:23-27):
+    a ubiquitous entity links every conversation to every other and carries
+    no signal — and would go quadratic at corpus scale.
+    """
+    per_conv = (
+        mention_triples.where(F.col("pred") == "mentions")
+        .select(F.col("obj").alias("entity"), "conv_id")
+        .distinct()
+    )
+    fanout = per_conv.groupBy("entity").agg(
+        F.count("*").alias("n_convs")
+    )
+    small = per_conv.join(
+        fanout.where(F.col("n_convs") <= hub_cap).select("entity"), "entity"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.entity") == F.col("b.entity"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .groupBy(
+            F.col("a.conv_id").alias("subj"),
+            F.col("b.conv_id").alias("obj"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "subj",
+            F.lit("mentions_with").alias("pred"),
+            "obj",
+            F.col("n_shared").cast("float").alias("weight"),
+        )
+    )
+
+
 def co_invocation_edges(
     call_triples: DataFrame,
     min_cooccur: int = 2,

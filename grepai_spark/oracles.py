@@ -372,3 +372,85 @@ FROM small a JOIN small b
 GROUP BY a.tool, b.tool
 HAVING count(*) >= {min_cooccur}
 """.strip()
+
+
+def mention_tool_overlap_oracle(window: int = 2) -> str:
+    return f"""
+WITH m AS (SELECT conv_id, turn_idx AS m_turn, mention FROM ({mentions_oracle()}) mm),
+c AS (
+  SELECT conv_id, turn_idx AS t_turn, tool
+  FROM ({TRANSCRIPTS_REL}) t WHERE tool <> ''
+)
+SELECT m.conv_id, m.m_turn, m.mention, c.t_turn, c.tool,
+       CAST(abs(c.t_turn - m.m_turn) AS INT) AS dist
+FROM m JOIN c ON m.conv_id = c.conv_id
+ AND c.t_turn BETWEEN m.m_turn - {window} AND m.m_turn + {window}
+""".strip()
+
+
+def conv_comention_oracle(hub_cap: int = 50) -> str:
+    return f"""
+WITH RECURSIVE {_canonical_map_ctes()},
+ment AS (
+  SELECT DISTINCT comp.entity_id AS entity, m.conv_id
+  FROM ({mentions_oracle()}) m
+  JOIN nd ON m.mention = nd.alias
+  JOIN comp ON nd.canonical_id = comp.canonical_id
+),
+fanout AS (SELECT entity, count(*) AS n_convs FROM ment GROUP BY entity),
+small AS (
+  SELECT m.* FROM ment m JOIN fanout f
+  ON m.entity = f.entity AND f.n_convs <= {hub_cap}
+)
+SELECT a.conv_id AS subj, 'mentions_with' AS pred, b.conv_id AS obj,
+       CAST(count(*) AS FLOAT) AS weight
+FROM small a JOIN small b
+  ON a.entity = b.entity AND a.conv_id < b.conv_id
+GROUP BY a.conv_id, b.conv_id
+""".strip()
+
+
+def fetch_node_oracle(entity_id: str) -> str:
+    return f"""
+WITH e AS (SELECT * FROM {_edges_sub()} ee),
+v AS ({kg_vertices_oracle()}),
+inc AS (
+  SELECT 'out' AS dir, pred, obj AS neighbor, weight FROM e WHERE subj = '{entity_id}'
+  UNION ALL
+  SELECT 'in' AS dir, pred, subj AS neighbor, weight FROM e WHERE obj = '{entity_id}'
+),
+g AS (
+  SELECT dir, pred, neighbor, count(*) AS n,
+         round(sum(weight), 6) AS w
+  FROM inc GROUP BY dir, pred, neighbor
+)
+SELECT g.dir, g.pred, g.neighbor, g.n, g.w, v.canonical_name, v.kind
+FROM g CROSS JOIN (SELECT canonical_name, kind FROM v WHERE entity_id = '{entity_id}') v
+ORDER BY g.dir, g.pred, g.neighbor
+""".strip()
+
+
+def enrich_area_labels_oracle(top_n: int = 3) -> str:
+    return f"""
+WITH t AS (
+  SELECT str_split(tool, '.')[1] AS area, str_split(tool, '.')[2] AS short
+  FROM ({TRANSCRIPTS_REL}) tt WHERE tool <> ''
+),
+counts AS (SELECT area, short, count(*) AS n_calls FROM t GROUP BY area, short),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY area
+                               ORDER BY n_calls DESC, short) AS rn
+  FROM counts
+)
+SELECT area,
+       area || ': ' || string_agg(short, ', ' ORDER BY rn) AS label,
+       CAST(sum(n_calls) AS BIGINT) AS n_calls_top
+FROM top WHERE rn <= {top_n}
+GROUP BY area
+""".strip()
+
+
+def chunk_turns_oracle() -> str:
+    from grepai_spark.extract import chunk_turns_oracle_sql
+
+    return chunk_turns_oracle_sql(TRANSCRIPTS_REL)

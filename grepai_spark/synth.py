@@ -136,3 +136,21 @@ def alias_dict_values_sql() -> str:
     """Inline VALUES relation for DuckDB/Spark oracles (identical dialects)."""
     rows = ", ".join(f"('{a}', '{c}', '{k}')" for a, c, k in ALIAS_ROWS)
     return f"(VALUES {rows}) AS d(alias, canonical_id, kind)"
+
+
+def replicate_transcripts(t: DataFrame, k: int) -> DataFrame:
+    """Deterministically scale the corpus k-fold for throughput runs: each
+    replica keeps per-conversation structure but gets a distinct conv_id
+    namespace (#r0..#r{k-1}). Duplicate texts across replicas are intentional
+    — they exercise the content-hash dedup path exactly like production
+    near-duplicate traffic."""
+    from pyspark.sql import functions as F
+
+    if k <= 1:
+        return t
+    reps = t.sparkSession.range(k).select(
+        F.col("id").cast("int").alias("_rep")
+    )
+    return t.crossJoin(reps).withColumn(
+        "conv_id", F.concat_ws("#r", F.col("conv_id"), F.col("_rep"))
+    ).drop("_rep")

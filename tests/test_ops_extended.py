@@ -1,0 +1,84 @@
+"""Range join, conversation co-mention, label enrichment, chunker."""
+
+from __future__ import annotations
+
+from grepai_spark import aggs, extract, link
+from grepai_spark.materialize import conv_comention_edges
+from grepai_spark.synth import alias_dict_df
+
+
+def test_mention_tool_overlap_window(spark, tiny_transcripts):
+    m = extract.detect_mentions(tiny_transcripts, alias_dict_df(spark))
+    c = extract.call_triples(tiny_transcripts)
+    got = {
+        (r["conv_id"], r["m_turn"], r["mention"], r["t_turn"], r["tool"], r["dist"])
+        for r in link.mention_tool_overlap(m, c, window=2).collect()
+    }
+    # conv-a: FetchData at turn 0; tools at turns 1 (payments.charge) and
+    # 2 (diagnostics.trace) — both within the +/-2 window
+    assert ("conv-a", 0, "FetchData", 1, "payments.charge", 1) in got
+    assert ("conv-a", 0, "FetchData", 2, "diagnostics.trace", 2) in got
+    # distances beyond the window are excluded
+    assert all(r[5] <= 2 for r in got)
+
+
+def test_conv_comention_shared_entities(spark, tiny_transcripts):
+    from grepai_spark import pipeline
+
+    edges = pipeline.kg_edges_df(
+        spark, tiny_transcripts, alias_dict_df(spark)
+    )
+    got = {
+        (r["subj"], r["obj"]): r["weight"]
+        for r in conv_comention_edges(edges).collect()
+    }
+    # conv-a and conv-c both mention the e_fetch_data component
+    assert got.get(("conv-a", "conv-c")) == 1.0
+    # ordering invariant: subj < obj always
+    assert all(a < b for a, b in got)
+
+
+def test_conv_comention_hub_cap(spark, tiny_transcripts):
+    from grepai_spark import pipeline
+
+    edges = pipeline.kg_edges_df(
+        spark, tiny_transcripts, alias_dict_df(spark)
+    )
+    # hub_cap=1: every entity mentioned by >1 conversation is skipped ->
+    # no pairs at all (pair needs >=2 convs per entity by construction)
+    assert conv_comention_edges(edges, hub_cap=1).count() == 0
+
+
+def test_enrich_area_labels(spark, tiny_transcripts):
+    got = {
+        r["area"]: r["label"]
+        for r in aggs.enrich_area_labels(tiny_transcripts).collect()
+    }
+    assert got["payments"] == "payments: charge"
+    assert got["auth"] == "auth: register"
+
+
+def test_chunk_turns_windows(spark):
+    long_text = "x" * 5000
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", long_text, "", None),
+            ("c1", 1, "user", "short", "", None),
+            ("c1", 2, "user", "", "", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = extract.chunk_turns(df).collect()
+    by_turn = {}
+    for r in rows:
+        by_turn.setdefault(r["turn_idx"], []).append(r)
+    # 5000 chars, win 2048, step 1848 -> ceil((5000-2048)/1848)+1 = 3 chunks
+    assert len(by_turn[0]) == 3
+    chunks = sorted(by_turn[0], key=lambda r: r["chunk_idx"])
+    assert len(chunks[0]["chunk_text"]) == 2048
+    # overlap: each successive window starts step chars later
+    assert chunks[1]["chunk_idx"] == 1
+    assert len(chunks[2]["chunk_text"]) == 5000 - 2 * 1848
+    # short and empty turns produce exactly one chunk, byte-identical text
+    assert len(by_turn[1]) == 1 and by_turn[1][0]["chunk_text"] == "short"
+    assert len(by_turn[2]) == 1 and by_turn[2][0]["chunk_text"] == ""

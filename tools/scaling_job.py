@@ -1,0 +1,65 @@
+"""The scaling-criterion job — run via spark-submit --py-files.
+
+Runs the full KG pipeline (extract -> link -> canonicalize -> materialize)
+over the sf corpus replicated `replicate`-fold, twice (min wall), and prints
+one JSON line. Invoked by tools/scaling_run.py at two local parallelism
+levels as the sandbox proxy for N vs 4N executors.
+
+Usage:
+  spark-submit --master local[N] --py-files grepai_spark.zip \
+      tools/scaling_job.py <cpus> <sf_dir> <replicate>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    sf_dir = sys.argv[2]
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from grepai_spark.pipeline import kg_edges_df
+    from grepai_spark.session import get_spark
+    from grepai_spark.synth import (
+        alias_dict_df,
+        load_transcripts,
+        replicate_transcripts,
+    )
+
+    spark = get_spark(
+        app_name=f"grepai-scaling-{cpus}", master=f"local[{cpus}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t = replicate_transcripts(load_transcripts(spark, sf_dir), replicate)
+    n_turns = t.count()
+    d = alias_dict_df(spark)
+
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        kg_edges_df(spark, t, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "replicate": replicate,
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
