@@ -171,7 +171,8 @@ def canonical_map(
         F.col("canonical_id").alias("node")
     ).distinct()
     return (
-        all_canon.join(cc, "node", "left")
+        # component map is dictionary-scale — broadcast, never SMJ
+        all_canon.join(F.broadcast(cc), "node", "left")
         .select(
             F.col("node").alias("canonical_id"),
             F.coalesce("component", "node").alias("entity_id"),

@@ -70,6 +70,7 @@ def run(
     n_buckets: int = 16,
     fail_after: str | None = None,
     use_lsh: bool = False,
+    embed: bool = False,
 ) -> PipelineResult:
     catalog = Catalog(spark, out_dir)
     counters: dict[str, int] = {}
@@ -106,6 +107,35 @@ def run(
         lineage.mark_done(catalog, "mentions", pending, out_counts)
     if fail_after == "mentions":
         raise InjectedFailure("killed after mentions stage")
+
+    # ---- stage 1b: embeddings (content-hash cached), per-bucket resumable --
+    if embed:
+        from grepai_spark import embed as embed_mod
+
+        pending_v = lineage.pending_buckets(catalog, "vectors", hashes)
+        pending_v_ids = [
+            r["bucket"] for r in pending_v.select("bucket").collect()
+        ]
+        counters["vectors_buckets_pending"] = len(pending_v_ids)
+        if pending_v_ids:
+            sub = tb.where(F.col("bucket").isin(pending_v_ids))
+            vec, embed_counters = embed_mod.embed_with_cache(catalog, sub)
+            counters.update(
+                {f"embed_{k}": v for k, v in embed_counters.items()}
+            )
+            catalog.merge_by_key(
+                "turn_vectors",
+                vec.select(
+                    "bucket", "conv_id", "turn_idx", "content_hash", "vector"
+                ),
+                ["bucket"],
+            )
+            out_counts = vec.groupBy("bucket").agg(
+                F.count("*").alias("rows_out")
+            )
+            lineage.mark_done(catalog, "vectors", pending_v, out_counts)
+    if fail_after == "embed":
+        raise InjectedFailure("killed after embed stage")
 
     # ---- stage: canonicalization (dictionary-level, cheap, global) ---------
     sim = (

@@ -90,3 +90,43 @@ def test_pipeline_parallelism_invariance(spark, sf_transcripts, tmp_path):
         n_buckets=32,
     )
     assert _triple_set(a.edges) == _triple_set(b.edges)
+
+
+def test_pipeline_embed_stage_resumes_and_caches(spark, tiny_transcripts, tmp_path):
+    from grepai_spark.storage import Catalog
+
+    out = str(tmp_path / "out_embed")
+    d = alias_dict_df(spark)
+    r1 = pipeline.run(spark, tiny_transcripts, d, out, embed=True)
+    assert r1.counters["vectors_buckets_pending"] > 0
+    # duplicate text across conv-a/0 and conv-c/1 -> encoded once
+    assert r1.counters["embed_cache_misses"] < r1.counters["embed_distinct_texts"] + 1
+    cat = Catalog(spark, out)
+    vecs = cat.read("turn_vectors")
+    assert vecs.count() == tiny_transcripts.count()
+    dup = {
+        (r["conv_id"], r["turn_idx"]): tuple(r["vector"])
+        for r in vecs.collect()
+    }
+    # content-hash cache: identical text => identical vector
+    assert dup[("conv-a", 0)] == dup[("conv-c", 1)]
+
+    # rerun: nothing pending, cache fully warm
+    r2 = pipeline.run(spark, tiny_transcripts, d, out, embed=True)
+    assert r2.counters["vectors_buckets_pending"] == 0
+
+
+def test_pipeline_resume_after_embed_kill(spark, tiny_transcripts, tmp_path):
+    out = str(tmp_path / "out_embed_kill")
+    d = alias_dict_df(spark)
+    with pytest.raises(pipeline.InjectedFailure):
+        pipeline.run(
+            spark, tiny_transcripts, d, out, embed=True, fail_after="embed"
+        )
+    res = pipeline.run(spark, tiny_transcripts, d, out, embed=True)
+    assert res.counters["mentions_buckets_pending"] == 0
+    assert res.counters["vectors_buckets_pending"] == 0
+    clean = pipeline.run(
+        spark, tiny_transcripts, d, str(tmp_path / "clean2"), embed=True
+    )
+    assert _triple_set(res.edges) == _triple_set(clean.edges)

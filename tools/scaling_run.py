@@ -48,6 +48,10 @@ def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
         spark_submit,
         "--master",
         f"local[{cpus}]",
+        # driver memory must be set at JVM launch — the in-code conf that
+        # works for pyspark-launched sessions is too late under spark-submit
+        "--driver-memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "--py-files",
         zip_path,
         os.path.join(REPO, "tools", "scaling_job.py"),
