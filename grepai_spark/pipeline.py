@@ -181,4 +181,12 @@ def run(
     vertices_out = catalog.read("vertices")
     counters["edges"] = edges_out.count()
     counters["vertices"] = vertices_out.count()
+
+    # ---- metrics sink (S8 analog: stats NDJSON -> a small metrics table) ---
+    metrics = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(counters.items())],
+        "metric string, value long",
+    ).withColumn("run_ts", F.current_timestamp())
+    catalog.merge_by_key("metrics", metrics, ["metric"])
+
     return PipelineResult(edges=edges_out, vertices=vertices_out, counters=counters)

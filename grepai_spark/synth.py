@@ -151,6 +151,13 @@ def replicate_transcripts(t: DataFrame, k: int) -> DataFrame:
     reps = t.sparkSession.range(k).select(
         F.col("id").cast("int").alias("_rep")
     )
-    return t.crossJoin(reps).withColumn(
+    out = t.crossJoin(reps).withColumn(
         "conv_id", F.concat_ws("#r", F.col("conv_id"), F.col("_rep"))
     ).drop("_rep")
+    # The crossJoin is narrow: without an explicit exchange the k-fold corpus
+    # (and every narrow stage after it — the mention UDF above all) inherits
+    # the few AQE-coalesced partitions of the 1x input, serializing the run
+    # regardless of core count. Explicit numPartitions is exempt from AQE
+    # coalescing. Hash on conv_id co-locates conversations for later joins.
+    n_parts = t.sparkSession.sparkContext.defaultParallelism * 2
+    return out.repartition(n_parts, "conv_id")

@@ -82,3 +82,60 @@ def test_chunk_turns_windows(spark):
     # short and empty turns produce exactly one chunk, byte-identical text
     assert len(by_turn[1]) == 1 and by_turn[1][0]["chunk_text"] == "short"
     assert len(by_turn[2]) == 1 and by_turn[2][0]["chunk_text"] == ""
+
+
+def test_chunk_turns_reconstruction_property(spark):
+    """Property: dropping the overlap from every chunk after the first and
+    concatenating reconstructs the original text exactly (hypothesis-driven
+    lengths around the window boundaries)."""
+    from hypothesis import given, settings, strategies as st
+
+    from grepai_spark.extract import CHUNK_CHARS, CHUNK_OVERLAP
+
+    step = CHUNK_CHARS - CHUNK_OVERLAP
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=3 * CHUNK_CHARS).filter(
+            lambda n: True
+        )
+    )
+    def check(n):
+        import math
+
+        text = "".join(chr(97 + (i % 26)) for i in range(n))
+        if n <= CHUNK_CHARS:
+            n_chunks = 1
+        else:
+            n_chunks = math.ceil((n - CHUNK_CHARS) / step) + 1
+        chunks = [text[i * step : i * step + CHUNK_CHARS] for i in range(n_chunks)]
+        rebuilt = chunks[0] + "".join(c[CHUNK_OVERLAP:] for c in chunks[1:])
+        assert rebuilt == text
+
+    check()
+
+    # and the Spark operator agrees with the local model on boundary sizes
+    sizes = [0, 1, CHUNK_CHARS - 1, CHUNK_CHARS, CHUNK_CHARS + 1,
+             2 * CHUNK_CHARS, 2 * CHUNK_CHARS + step]
+    rows = [
+        (f"c{j}", 0, "user", "".join(chr(97 + (i % 26)) for i in range(n)), "", None)
+        for j, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = extract.chunk_turns(df).collect()
+    by_conv = {}
+    for r in got:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    import math
+    for j, n in enumerate(sizes):
+        expect = 1 if n <= CHUNK_CHARS else math.ceil((n - CHUNK_CHARS) / step) + 1
+        chunks = sorted(by_conv[f"c{j}"], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == expect, (n, len(chunks))
+        text = rows[j][3]
+        rebuilt = chunks[0]["chunk_text"] + "".join(
+            c["chunk_text"][CHUNK_OVERLAP:] for c in chunks[1:]
+        )
+        assert rebuilt == text

