@@ -186,11 +186,17 @@ def _q_mention_tool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic corpus sprays every entity over most conversations, so the
+# reference-mirroring default hub cap (50 convs) would filter everything;
+# the cap is corpus-relative in practice.
+COMENTION_HUB_CAP = 1000
+
+
 def _q_conv_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grepai_spark.materialize import conv_comention_edges
 
     edges = _kg_edges(spark, sf_dir)
-    return conv_comention_edges(edges)
+    return conv_comention_edges(edges, hub_cap=COMENTION_HUB_CAP)
 
 
 def _q_fetch_node(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,7 +368,9 @@ def oracle_sql() -> dict[str, str]:
         "tool_hierarchy": oracles.tool_hierarchy_oracle(),
         "cluster_mentions": oracles.cluster_mentions_oracle(),
         "mention_tool_overlap": oracles.mention_tool_overlap_oracle(),
-        "conv_comention": oracles.conv_comention_oracle(),
+        "conv_comention": oracles.conv_comention_oracle(
+            hub_cap=COMENTION_HUB_CAP
+        ),
         "fetch_node": oracles.fetch_node_oracle(FETCH_SEED),
         "enrich_area_labels": oracles.enrich_area_labels_oracle(),
         "chunk_turns": oracles.chunk_turns_oracle(),

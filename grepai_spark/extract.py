@@ -115,13 +115,13 @@ def _make_mention_detector(aliases: list[str]):
 def detect_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """Explode each turn into (conv_id, turn_idx, role, mention, pos, kind) rows.
 
-    Only ``kind='entity'`` aliases are searched in text; tool invocations come
-    from the explicit ``tool`` column (see call_triples). The alias list is
-    collected to the driver once (it is a small broadcast-side dimension by
+    ``entity`` and ``action`` aliases are searched in text; tool invocations
+    come from the explicit ``tool`` column (see call_triples). The alias list
+    is collected to the driver once (it is a small broadcast-side dimension by
     design — the reference holds it fully in memory too, rpg/indexer.go:527).
     """
     rows = (
-        alias_dict.where(F.col("kind") == "entity")
+        alias_dict.where(F.col("kind").isin("entity", "action"))
         .select("alias", "kind")
         .distinct()
         .collect()
@@ -225,5 +225,5 @@ def mentions_oracle_sql(transcripts_rel: str, dialect: str) -> str:
 SELECT t.conv_id, t.turn_idx, t.role, d.alias AS mention,
        CAST({strpos} AS INT) AS pos, d.kind
 FROM ({transcripts_rel}) t
-JOIN {alias_dict_values_sql()} ON d.kind = 'entity' AND {boundary}
+JOIN {alias_dict_values_sql()} ON d.kind IN ('entity', 'action') AND {boundary}
 """.strip()

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 def mention_triples(
     linked_mentions: DataFrame, canonical_map: DataFrame
 ) -> DataFrame:
-    """(role)-[:mentions]->(entity) per linked in-text mention.
+    """(role)-[:mentions]->(entity) per linked in-text entity mention;
+    (role)-[:does]->(action) for action-kind mentions (agent actions).
 
     canonical_map is tiny (dictionary-sized) -> broadcast join; the big
     mentions side never shuffles.
@@ -26,7 +27,9 @@ def mention_triples(
         .join(cmap, "canonical_id")
         .select(
             F.col("role").alias("subj"),
-            F.lit("mentions").alias("pred"),
+            F.when(F.col("kind") == "action", "does")
+            .otherwise("mentions")
+            .alias("pred"),
             F.col("entity_id").alias("obj"),
             "conv_id",
             "turn_idx",

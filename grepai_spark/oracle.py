@@ -79,12 +79,14 @@ def golden_triples(
 ) -> set[Triple]:
     """rows: dicts with conv_id, turn_idx, role, text, tool."""
     comp = canonical_components(alias_rows)
-    entity_aliases = [
-        (a, comp[c]) for a, c, k in alias_rows if k == "entity"
-    ]
     pats = [
-        (re.compile(r"\b" + re.escape(a) + r"\b"), cid)
-        for a, cid in entity_aliases
+        (
+            re.compile(r"\b" + re.escape(a) + r"\b"),
+            comp[c],
+            "does" if k == "action" else "mentions",
+        )
+        for a, c, k in alias_rows
+        if k in ("entity", "action")
     ]
     out: set[Triple] = set()
     for r in rows:
@@ -93,9 +95,9 @@ def golden_triples(
         if tool:
             out.add(Triple(role, "calls", tool, conv, idx))
         text = r.get("text") or ""
-        for pat, cid in pats:
+        for pat, cid, pred in pats:
             if pat.search(text):
-                out.add(Triple(role, "mentions", cid, conv, idx))
+                out.add(Triple(role, pred, cid, conv, idx))
     return out
 
 

@@ -106,7 +106,9 @@ SELECT DISTINCT * FROM (
          CAST(1.0 AS FLOAT) AS weight
   FROM ({TRANSCRIPTS_REL}) t WHERE tool <> ''
   UNION ALL
-  SELECT m.role AS subj, 'mentions' AS pred, comp.entity_id AS obj,
+  SELECT m.role AS subj,
+         CASE WHEN nd.kind = 'action' THEN 'does' ELSE 'mentions' END AS pred,
+         comp.entity_id AS obj,
          m.conv_id, m.turn_idx, CAST(1.0 AS FLOAT) AS weight
   FROM ({mentions_oracle()}) m
   JOIN nd ON m.mention = nd.alias
@@ -394,7 +396,7 @@ WITH RECURSIVE {_canonical_map_ctes()},
 ment AS (
   SELECT DISTINCT comp.entity_id AS entity, m.conv_id
   FROM ({mentions_oracle()}) m
-  JOIN nd ON m.mention = nd.alias
+  JOIN nd ON m.mention = nd.alias AND nd.kind <> 'action'
   JOIN comp ON nd.canonical_id = comp.canonical_id
 ),
 fanout AS (SELECT entity, count(*) AS n_convs FROM ment GROUP BY entity),

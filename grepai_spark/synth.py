@@ -55,6 +55,12 @@ ALIAS_ROWS: list[tuple[str, str, str]] = [
     ("payments.charge", "t_payments_charge", "tool"),
     ("diagnostics.trace", "t_diagnostics_trace", "tool"),
     ("auth.register", "t_auth_register", "tool"),
+    # agent actions (north star: entities, tool invocations, AND agent
+    # actions per turn) -> (role)-[:does]->(action) triples
+    ("DeployService", "a_deploy_service", "action"),
+    ("deploy_service", "a_deploy_service", "action"),
+    ("RestartWorker", "a_restart_worker", "action"),
+    ("restart_worker", "a_restart_worker", "action"),
 ]
 
 # In-text mention slots (must all be ALIAS_ROWS surface forms).
@@ -66,6 +72,7 @@ _SLOT1 = [
 _SLOT2 = [
     "hash_join", "MergeSort", "FetchRows", "parse_query",
     "stream_reader", "SparkEngine", "QueryParserFast",
+    "DeployService", "restart_worker",
 ]
 
 
