@@ -275,6 +275,17 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_meta(_docs(spark, sf_dir))
 
 
+def _q_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_meta(_docs(spark, sf_dir))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas frame sampler; no SQL oracle (rows-only check).
+    return multimodal.frame_sample(
+        multimodal.attach_binary(_docs(spark, sf_dir))
+    ).drop("frame_features")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas byte-feature plumbing; no SQL oracle (rows-only check).
     return multimodal.extract_features(
@@ -329,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "frame_meta": _q_frame_meta,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -386,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textstats.token_counts_oracle(),
         "doc_fingerprint": textstats.doc_fingerprint_oracle(),
         "media_meta": multimodal.media_meta_oracle(),
+        "frame_meta": multimodal.frame_meta_oracle(),
+        # frame_sample: mapInPandas sampler — rows-only check by design.
         # media_features: mapInPandas byte histograms — intentionally no SQL
         # oracle (rows-only check); the decode seam is a stub by design.
     }

@@ -109,6 +109,95 @@ def extract_features(
     )
 
 
+FRAME_BYTES = 64
+FRAME_SAMPLE_EVERY = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_features", ArrayType(FloatType())),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    every: int = FRAME_SAMPLE_EVERY,
+    n_buckets: int = N_FEATURE_BUCKETS,
+) -> DataFrame:
+    """Frame-sampling plumbing: treat the payload as fixed-size frames (the
+    video/audio analog), keep every `every`-th frame, and emit per-frame
+    byte features. mapInPandas — one Python call per Arrow batch; output is
+    a flatMap (multiple frame rows per doc), the same shape a real
+    video-frame sampler produces. A real decoder swaps in at the same seam
+    as extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every):
+                    frame = buf[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    hist = np.bincount(
+                        frame // (256 // n_buckets), minlength=n_buckets
+                    )
+                    s = hist.sum()
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    feats.append(
+                        (hist / s).astype(np.float32).tolist()
+                        if s
+                        else [0.0] * n_buckets
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_features": feats,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+def frame_meta(
+    docs: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    every: int = FRAME_SAMPLE_EVERY,
+) -> DataFrame:
+    """Oracle-checkable frame accounting: total and sampled frame counts per
+    doc, derivable from byte length alone (JVM-side, no Python)."""
+    m = attach_binary(docs)
+    n_frames = F.ceil(F.col("media_meta.n_bytes") / F.lit(frame_bytes)).cast(
+        "long"
+    )
+    sampled = F.ceil(n_frames / F.lit(every)).cast("long")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
+        n_frames.alias("n_frames"),
+        sampled.alias("n_sampled"),
+    )
+
+
+def frame_meta_oracle(
+    frame_bytes: int = FRAME_BYTES, every: int = FRAME_SAMPLE_EVERY
+) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ceil(octet_length(encode(text)) / CAST({frame_bytes} AS DOUBLE)) AS BIGINT) AS n_frames,
+       CAST(ceil(ceil(octet_length(encode(text)) / CAST({frame_bytes} AS DOUBLE)) / CAST({every} AS DOUBLE)) AS BIGINT) AS n_sampled
+FROM documents
+""".strip()
+
+
 def media_meta(docs: DataFrame) -> DataFrame:
     """Flat metadata projection (oracle-checkable: byte length parity)."""
     m = attach_binary(docs)

@@ -263,3 +263,22 @@ def test_extract_features_empty_payload(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_frame_sample_counts_match_meta(spark, docs):
+    media = multimodal.attach_binary(docs)
+    frames = multimodal.frame_sample(media)
+    got = {
+        r["doc_id"]: r["cnt"]
+        for r in frames.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    meta = {
+        r["doc_id"]: r["n_sampled"]
+        for r in multimodal.frame_meta(docs).collect()
+    }
+    for doc_id, n_sampled in meta.items():
+        assert got.get(doc_id, 0) == n_sampled, doc_id
+    # sampled frame indices follow the every-k pattern
+    sample = frames.where("doc_id = 0").collect()
+    idxs = sorted(r["frame_idx"] for r in sample)
+    assert idxs == list(range(0, (idxs[-1] + 1) if idxs else 0, multimodal.FRAME_SAMPLE_EVERY))[: len(idxs)]
