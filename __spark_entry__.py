@@ -24,6 +24,7 @@ from grepai_spark import (
     oracles,
     pipeline,
     search,
+    skew,
     textstats,
 )
 from grepai_spark.cc import canonical_map
@@ -215,6 +216,10 @@ def _q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.chunk_turns(load_transcripts(spark, sf_dir))
 
 
+def _q_conv_tool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew.conv_tool_profile(load_transcripts(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (dedup / ANN / text analysis / multimodal)
 # --------------------------------------------------------------------------
@@ -327,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_node": _q_fetch_node,
         "enrich_area_labels": _q_enrich_area_labels,
         "chunk_turns": _q_chunk_turns,
+        "conv_tool_profile": _q_conv_tool_profile,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_pairs": _q_dedup_ngram,
         "dedup_minhash_pairs": _q_dedup_minhash,
@@ -387,6 +393,9 @@ def oracle_sql() -> dict[str, str]:
         "fetch_node": oracles.fetch_node_oracle(FETCH_SEED),
         "enrich_area_labels": oracles.enrich_area_labels_oracle(),
         "chunk_turns": oracles.chunk_turns_oracle(),
+        "conv_tool_profile": skew.conv_tool_profile_oracle(
+            oracles.TRANSCRIPTS_REL
+        ),
         "dedup_exact": dedup.dedup_exact_oracle(oracles.TRANSCRIPTS_REL),
         "dedup_ngram_pairs": dedup.ngram_jaccard_pairs_oracle(),
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs_oracle(),
