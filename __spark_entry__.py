@@ -208,6 +208,19 @@ def _q_fetch_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_feature_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.feature_paths(
+        pipeline.kg_vertices_df(spark, alias_dict_df(spark))
+    )
+
+
+def _q_pruned_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.prune_orphan_vertices(
+        pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
+        _kg_edges(spark, sf_dir),
+    )
+
+
 def _q_enrich_area_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.enrich_area_labels(load_transcripts(spark, sf_dir))
 
@@ -330,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_tool_overlap": _q_mention_tool_overlap,
         "conv_comention": _q_conv_comention,
         "fetch_node": _q_fetch_node,
+        "feature_paths": _q_feature_paths,
+        "pruned_vertices": _q_pruned_vertices,
         "enrich_area_labels": _q_enrich_area_labels,
         "chunk_turns": _q_chunk_turns,
         "conv_tool_profile": _q_conv_tool_profile,
@@ -391,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
             hub_cap=COMENTION_HUB_CAP
         ),
         "fetch_node": oracles.fetch_node_oracle(FETCH_SEED),
+        "feature_paths": oracles.feature_paths_oracle(),
+        "pruned_vertices": oracles.pruned_vertices_oracle(),
         "enrich_area_labels": oracles.enrich_area_labels_oracle(),
         "chunk_turns": oracles.chunk_turns_oracle(),
         "conv_tool_profile": skew.conv_tool_profile_oracle(

@@ -131,6 +131,38 @@ def search_nodes(
     )
 
 
+def feature_paths(vertices: DataFrame) -> DataFrame:
+    """G7 feature-path resolution (ref: rpg/query.go:397-456): each canonical
+    entity's fixed-depth hierarchy path  kind / first-token cluster /
+    normalized key. Pure projection — the reference's recursive parent walk
+    collapses because the hierarchy has fixed depth (rpg/hierarchy.go)."""
+    from grepai_spark.naming import first_token_sql, norm_key_sql
+
+    return vertices.select(
+        "entity_id",
+        F.concat_ws(
+            "/",
+            F.col("kind"),
+            F.expr(first_token_sql("canonical_name")),
+            F.expr(norm_key_sql("canonical_name")),
+        ).alias("feature_path"),
+    )
+
+
+def prune_orphan_vertices(
+    vertices: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """W4 orphan pruning (ref: rpg/evolver.go:284-323): drop vertices that no
+    edge references. Two left_anti probes against the distinct endpoint sets
+    — at scale each is a shuffle on entity id with the vertex side tiny."""
+    endpoints = (
+        edges.select(F.col("subj").alias("entity_id"))
+        .union(edges.select(F.col("obj").alias("entity_id")))
+        .distinct()
+    )
+    return vertices.join(endpoints, "entity_id", "left_semi")
+
+
 def fetch_node(
     vertices: DataFrame, edges: DataFrame, entity_id: str
 ) -> DataFrame:

@@ -456,3 +456,40 @@ def chunk_turns_oracle() -> str:
     from grepai_spark.extract import chunk_turns_oracle_sql
 
     return chunk_turns_oracle_sql(TRANSCRIPTS_REL)
+
+
+def feature_paths_oracle() -> str:
+    blk = first_token_sql("canonical_name", "duckdb")
+    key = norm_key_sql("canonical_name", "duckdb")
+    return f"""
+WITH RECURSIVE {_canonical_map_ctes()},
+v AS (
+  SELECT comp.entity_id,
+         min(nd.alias) AS canonical_name,
+         min(nd.kind) AS kind
+  FROM nd JOIN comp ON nd.canonical_id = comp.canonical_id
+  GROUP BY comp.entity_id
+)
+SELECT entity_id,
+       kind || '/' || {blk} || '/' || {key} AS feature_path
+FROM v
+""".strip()
+
+
+def pruned_vertices_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_canonical_map_ctes()},
+v AS (
+  SELECT comp.entity_id,
+         min(nd.alias) AS canonical_name,
+         min(nd.kind) AS kind,
+         list_sort(list_distinct(list(nd.alias))) AS aliases
+  FROM nd JOIN comp ON nd.canonical_id = comp.canonical_id
+  GROUP BY comp.entity_id
+),
+ep AS (
+  SELECT subj AS entity_id FROM {_edges_sub()} e1
+  UNION SELECT obj FROM {_edges_sub()} e2
+)
+SELECT v.* FROM v WHERE v.entity_id IN (SELECT entity_id FROM ep)
+""".strip()

@@ -166,5 +166,7 @@ def replicate_transcripts(t: DataFrame, k: int) -> DataFrame:
     # the few AQE-coalesced partitions of the 1x input, serializing the run
     # regardless of core count. Explicit numPartitions is exempt from AQE
     # coalescing. Hash on conv_id co-locates conversations for later joins.
-    n_parts = t.sparkSession.sparkContext.defaultParallelism * 2
+    # 4x cores: small enough tasks that the scheduler can smooth the tail
+    # (mega-thread replicas make conv_id-hashed partitions uneven).
+    n_parts = t.sparkSession.sparkContext.defaultParallelism * 4
     return out.repartition(n_parts, "conv_id")
