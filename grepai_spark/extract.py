@@ -77,14 +77,18 @@ def _make_mention_detector(aliases: list[str]):
 
         return detect_none
 
-    # ONE combined word-boundary alternation — a single scan per text instead
-    # of |aliases| vectorized passes. Longest-first ordering plus the trailing
-    # \b make overlapping aliases (QueryParser vs QueryParserFast) resolve by
-    # backtracking, identical to per-alias matching.
-    by_len = sorted(ordered, key=len, reverse=True)
-    combined = re.compile(
-        r"\b(?:" + "|".join(re.escape(a) for a in by_len) + r")\b"
+    # Detection strategy (microbenched on the sf0.1 corpus, PERF.md):
+    # str.find per alias (C memmem) gates a boundary check; the regex engine
+    # only runs when the first literal occurrence is NOT boundary-clean.
+    # 2.1x faster than one combined alternation regex (Python re tries every
+    # alternative at every position — it is not Aho-Corasick).
+    word_chars = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
     )
+    patterns = {
+        a: re.compile(r"\b" + re.escape(a) + r"\b") for a in ordered
+    }
+    lens = {a: len(a) for a in ordered}
 
     @F.pandas_udf(ArrayType(_MENTION_ELEM))
     def detect(texts: pd.Series) -> pd.Series:
@@ -94,19 +98,25 @@ def _make_mention_detector(aliases: list[str]):
             if not text:
                 out.append(empty)
                 continue
-            found: dict[str, int] = {}
-            for m in combined.finditer(text):
-                a = m.group(0)
-                if a not in found:
+            found: list[dict] = []
+            n = len(text)
+            for a in ordered:
+                p = text.find(a)
+                if p == -1:
+                    continue
+                # cheap boundary test at the first occurrence; fall back to a
+                # full regex search only when that occurrence is embedded
+                # (an alias may still boundary-match later in the text)
+                end = p + lens[a]
+                if (
+                    (p == 0 or text[p - 1] not in word_chars)
+                    and (end >= n or text[end] not in word_chars)
+                ) or patterns[a].search(text):
                     # pos = 1-based FIRST LITERAL occurrence (matches the
                     # oracle's strpos/instr), which may precede the first
                     # boundary match when the alias is embedded earlier.
-                    found[a] = text.find(a) + 1
-                    if len(found) == len(ordered):
-                        break
-            out.append(
-                [{"mention": a, "pos": p} for a, p in sorted(found.items())]
-            )
+                    found.append({"mention": a, "pos": p + 1})
+            out.append(found or empty)
         return pd.Series(out)
 
     return detect

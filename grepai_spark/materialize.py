@@ -42,9 +42,15 @@ def mention_triples(
 def build_edges(
     call_triples: DataFrame, mention_triples: DataFrame
 ) -> DataFrame:
-    return call_triples.unionByName(mention_triples).dropDuplicates(
-        ["subj", "pred", "obj", "conv_id", "turn_idx"]
-    )
+    """Union of the two branches WITHOUT a final dropDuplicates: the key set
+    (subj, pred, obj, conv_id, turn_idx) is already unique — call triples are
+    one-per-turn by construction (transcripts are keyed by (conv_id,
+    turn_idx)), mention triples dedup internally, and the branches cannot
+    collide because their pred domains are disjoint (calls vs mentions/does).
+    A final dedup would shuffle the ENTIRE edge set again for nothing — at
+    10^12 turns that is the single largest avoidable shuffle in the pipeline.
+    """
+    return call_triples.unionByName(mention_triples)
 
 
 def build_vertices(

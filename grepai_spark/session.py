@@ -43,14 +43,21 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size is the analog of the reference's embed-batch caps
-        # (<=2000 inputs per call, /root/reference/embedder/batch.go:3-9): it
-        # bounds how much text one encoder invocation sees.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # Arrow batch size bounds how much text one Python UDF invocation
+        # sees — the role the reference's embed-batch caps play
+        # (/root/reference/embedder/batch.go:3-9). 10k rows/batch amortizes
+        # the per-batch IPC overhead for the mention detector; a remote
+        # encoder would re-slice to its own request cap inside the UDF.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # ad-hoc experiment overrides: "key=value;key=value"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            b = b.config(k.strip(), v.strip())
     return b.getOrCreate()
