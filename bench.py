@@ -62,9 +62,12 @@ def main() -> None:
         "bfs_depth2",
         "tool_hierarchy",
         "dedup_exact",
+        "dedup_ngram_pairs",
         "dedup_minhash_pairs",
         "dedup_simhash_pairs",
         "ann_lsh_topk",
+        "ivf_topk",
+        "conv_tool_profile",
         "text_quality",
         "doc_fingerprint",
     ]

@@ -35,13 +35,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Materialize the synthesized corpus BEFORE timing: the north-rule job
-    # reads a stored Iceberg transcripts table, so the sandbox-only synthesis
-    # (single-file events scan + ordering window + replication) must not be
-    # inside the measured wall. localCheckpoint = the stored-table stand-in.
-    t = replicate_transcripts(
-        load_transcripts(spark, sf_dir), replicate
-    ).localCheckpoint(eager=True)
+    # Materialize the synthesized corpus as a PARQUET TABLE before timing:
+    # the north-rule job reads a stored Iceberg transcripts table, so the
+    # sandbox-only synthesis (single-file events scan + ordering window +
+    # replication) must not be inside the measured wall. Parquet, not
+    # localCheckpoint: the checkpoint's uncompressed row blocks made the
+    # input read memory-bandwidth-bound (shared-host bus), masking compute
+    # scaling; the columnar compressed table is ~50x smaller and is what
+    # production reads anyway (PERF.md).
+    store = f"/tmp/grepai_scale_input_{replicate}.parquet"
+    import os as _os
+
+    if not _os.path.isdir(store):
+        replicate_transcripts(
+            load_transcripts(spark, sf_dir), replicate
+        ).write.mode("overwrite").parquet(store)
+    t = spark.read.parquet(store)
     n_turns = t.count()
     d = alias_dict_df(spark)
 
