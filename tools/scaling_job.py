@@ -54,15 +54,17 @@ def main() -> None:
     n_turns = t.count()
     d = alias_dict_df(spark)
 
-    walls = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        kg_edges_df(spark, t, d).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        walls.append(time.perf_counter() - t0)
-        time.sleep(5)
-    wall = min(walls)
+    # warm codegen + python workers + broadcast machinery on a small slice,
+    # then ONE measured rep: a second in-JVM rep would stretch the 8-core
+    # burst past the host's throttle window (PERF.md) and only measure that.
+    # Cross-run repetition comes from the harness's interleaved submits.
+    kg_edges_df(spark, t.limit(50_000), d).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    time.sleep(3)
+    t0 = time.perf_counter()
+    kg_edges_df(spark, t, d).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
     print(
         json.dumps(
             {
