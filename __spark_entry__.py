@@ -83,8 +83,15 @@ def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.kg_edges_df(spark, t, alias_dict_df(spark))
 
 
+def _ser_aliases(df: DataFrame) -> DataFrame:
+    # The driver's oracle canonicalizer hashes column values; arrays are
+    # unhashable, so driver-facing outputs serialize them (the internal API
+    # keeps the array type).
+    return df.withColumn("aliases", F.array_join("aliases", ","))
+
+
 def _q_kg_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.kg_vertices_df(spark, alias_dict_df(spark))
+    return _ser_aliases(pipeline.kg_vertices_df(spark, alias_dict_df(spark)))
 
 
 def _q_co_invocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,9 +222,11 @@ def _q_feature_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pruned_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graphq.prune_orphan_vertices(
-        pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
-        _kg_edges(spark, sf_dir),
+    return _ser_aliases(
+        graphq.prune_orphan_vertices(
+            pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
+            _kg_edges(spark, sf_dir),
+        )
     )
 
 
@@ -230,7 +239,9 @@ def _q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_conv_tool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return skew.conv_tool_profile(load_transcripts(spark, sf_dir))
+    return skew.conv_tool_profile(load_transcripts(spark, sf_dir)).withColumn(
+        "tools", F.array_join("tools", ",")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -308,6 +319,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas byte-feature plumbing; no SQL oracle (rows-only check).
     return multimodal.extract_features(
         multimodal.attach_binary(_docs(spark, sf_dir))
+    ).withColumn(
+        "byte_features",
+        F.expr(
+            "concat_ws(',', transform(byte_features,"
+            " x -> cast(round(x, 6) as string)))"
+        ),
     )
 
 

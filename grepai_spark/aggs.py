@@ -90,7 +90,12 @@ def enrich_area_labels(transcripts: DataFrame, top_n: int = 3) -> DataFrame:
     each tool area's label gets its top-N tools by call count appended —
     'payments: charge, refund, ...'. Deterministic ordering (count desc,
     name asc) like every reference top-N."""
-    t = transcripts.where(F.col("tool") != "").select(
+    # dot-less tools have no (area, short) split; Spark sorts their NULL
+    # short first while DuckDB's ORDER BY sorts it last — filter them out
+    # identically in operator and oracle so ordering can't diverge
+    t = transcripts.where(
+        (F.col("tool") != "") & F.col("tool").contains(".")
+    ).select(
         F.split(F.col("tool"), r"\.")[0].alias("area"),
         F.split(F.col("tool"), r"\.")[1].alias("short"),
     )

@@ -89,6 +89,11 @@ def _union_find_components(rows: list, spark) -> DataFrame:
         return r
 
     for r in rows:
+        if r[0] == r[1]:
+            # self-loop: registers the node (matching the distributed path's
+            # "every node appearing in edges" contract) but merges nothing
+            parent.setdefault(r[0], r[0])
+            continue
         a, b = find(r[0]), find(r[1])
         if a != b:
             # min-id root keeps the component id convention identical to the
@@ -113,9 +118,10 @@ def connected_components(
     Isolated nodes don't appear; callers union them back (component = self).
     """
     if small_cutoff:
+        # self-loops included: their nodes must appear in the output
+        # (component = self), same as the distributed path below
         head = (
             edges.select("src", "dst")
-            .where(F.col("src") != F.col("dst"))
             .limit(small_cutoff + 1)
             .collect()
         )

@@ -118,12 +118,13 @@ SELECT DISTINCT * FROM (
 
 
 def kg_vertices_oracle() -> str:
+    # aliases serialized: the driver's canonicalizer can't hash list cells
     return f"""
 WITH RECURSIVE {_canonical_map_ctes()}
 SELECT comp.entity_id,
        min(nd.alias) AS canonical_name,
        min(nd.kind) AS kind,
-       list_sort(list_distinct(list(nd.alias))) AS aliases
+       array_to_string(list_sort(list_distinct(list(nd.alias))), ',') AS aliases
 FROM nd JOIN comp ON nd.canonical_id = comp.canonical_id
 GROUP BY comp.entity_id
 """.strip()
@@ -436,7 +437,7 @@ def enrich_area_labels_oracle(top_n: int = 3) -> str:
     return f"""
 WITH t AS (
   SELECT str_split(tool, '.')[1] AS area, str_split(tool, '.')[2] AS short
-  FROM ({TRANSCRIPTS_REL}) tt WHERE tool <> ''
+  FROM ({TRANSCRIPTS_REL}) tt WHERE tool <> '' AND strpos(tool, '.') > 0
 ),
 counts AS (SELECT area, short, count(*) AS n_calls FROM t GROUP BY area, short),
 top AS (
@@ -483,7 +484,7 @@ v AS (
   SELECT comp.entity_id,
          min(nd.alias) AS canonical_name,
          min(nd.kind) AS kind,
-         list_sort(list_distinct(list(nd.alias))) AS aliases
+         array_to_string(list_sort(list_distinct(list(nd.alias))), ',') AS aliases
   FROM nd JOIN comp ON nd.canonical_id = comp.canonical_id
   GROUP BY comp.entity_id
 ),

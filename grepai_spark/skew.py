@@ -79,9 +79,10 @@ def conv_tool_profile(
 
 
 def conv_tool_profile_oracle(transcripts_rel: str) -> str:
+    # tools serialized: the driver's canonicalizer can't hash list cells
     return f"""
 SELECT conv_id,
-       list_sort(list_distinct(list(tool))) AS tools,
+       array_to_string(list_sort(list_distinct(list(tool))), ',') AS tools,
        CAST(len(list_distinct(list(tool))) AS INT) AS n_tools
 FROM ({transcripts_rel}) t
 WHERE tool <> ''

@@ -43,8 +43,13 @@ def main() -> None:
     # input read memory-bandwidth-bound (shared-host bus), masking compute
     # scaling; the columnar compressed table is ~50x smaller and is what
     # production reads anyway (PERF.md).
-    store = f"/tmp/grepai_scale_input_{replicate}.parquet"
+    # cache keyed by (sf_dir, replicate): a rerun against a different corpus
+    # must not silently reuse stale input
+    import hashlib as _hashlib
     import os as _os
+
+    sf_tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    store = f"/tmp/grepai_scale_input_{sf_tag}_{replicate}.parquet"
 
     if not _os.path.isdir(store):
         replicate_transcripts(
