@@ -32,6 +32,10 @@ EMBED_TABLE_DIM = 64  # driver's embeddings.parquet vector width
 N_PLANES = 8
 NEAR_DUP_COS = 0.4
 IVF_NPROBE = 2
+# per-cell membership cap for the near-dup pair join — the reference's
+# block-cap skew guard (/root/reference/rpg/indexer.go:20): one hot cell
+# must never go O(k^2) at corpus scale
+NEAR_DUP_CELL_CAP = 1000
 
 
 def planes(n_planes: int = N_PLANES, dim: int = EMBED_TABLE_DIM) -> list[list[float]]:
@@ -196,13 +200,22 @@ def near_dup_cosine_pairs(
     cell_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_cap: int = NEAR_DUP_CELL_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by coarse cell.
 
-    Pair generation is an equi-join on the cell id (never a cross join); at
-    scale cells bound the pair explosion exactly like the reference's verb
-    blocks bound the Jaccard join (/root/reference/rpg/indexer.go:661-695).
+    Pair generation is an equi-join on the cell id (never a cross join), and
+    cell membership is capped deterministically (first `cell_cap` ids per
+    cell) BEFORE pairing — the same block-cap guard every other pair
+    generator here carries (dedup._bucket_pairs, link block cap): without
+    it one hot cell goes O(k^2) no matter how well the join partitions.
     """
+    w = Window.partitionBy(cell_col).orderBy(id_col)
+    emb = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cell_cap)
+        .drop("_rn")
+    )
     a = emb.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("a_id"),
@@ -277,15 +290,24 @@ LIMIT {k}
 """.strip()
 
 
-def near_dup_cosine_pairs_oracle(threshold: float = NEAR_DUP_COS) -> str:
+def near_dup_cosine_pairs_oracle(
+    threshold: float = NEAR_DUP_COS, cell_cap: int = NEAR_DUP_CELL_CAP
+) -> str:
     dotp = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
     na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
     nb = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
     cos = f"({dotp}) / ({na} * {nb})"
     return f"""
+WITH capped AS (
+  SELECT * FROM (
+    SELECT vec_id, label, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) x WHERE rn <= {cell_cap}
+)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS cell,
        round({cos}, 6) AS cos
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM capped a
+JOIN capped b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """.strip()

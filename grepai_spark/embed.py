@@ -61,11 +61,16 @@ def py_encode(text: str, dim: int = EMBED_DIM) -> list[float]:
     return [float(x) for x in v]
 
 
-def make_encoder_udf(dim: int = EMBED_DIM):
+def make_encoder_udf(dim: int = EMBED_DIM, row_counter=None):
     """Arrow-batched encoder: Series[str] -> Series[list[float]].
 
     Token -> slot lookups are memoized across the batch (texts repeat tokens
     heavily), so per-batch cost is ~O(total tokens) with small constants.
+
+    `row_counter` (an optional Spark accumulator) counts rows actually
+    encoded — the guard that the expensive Python stage executes exactly
+    once per miss (re-executed plans double-count and fail the pipeline's
+    own assertion / test_embed).
     """
     import re
 
@@ -73,6 +78,8 @@ def make_encoder_udf(dim: int = EMBED_DIM):
 
     @F.pandas_udf(ArrayType(FloatType()))
     def encode(texts: pd.Series) -> pd.Series:
+        if row_counter is not None:
+            row_counter.add(len(texts))
         slot_cache: dict[str, tuple[int, float]] = {}
         out = []
         for text in texts.fillna(""):
@@ -123,19 +130,31 @@ def embed_with_cache(
     misses = distinct_texts.join(
         cache.select("content_hash"), "content_hash", "left_anti"
     )
-    encoder = make_encoder_udf(dim)
+    encode_acc = catalog.spark.sparkContext.accumulator(0)
+    encoder = make_encoder_udf(dim, row_counter=encode_acc)
+    # localCheckpoint materializes the encoded misses ONCE; the count and the
+    # cache merge below both read the materialized blocks instead of each
+    # re-executing the encoder UDF (the single most expensive Python stage —
+    # running it twice doubles the pipeline's dominant cost at corpus scale).
     encoded = misses.select(
         "content_hash", encoder(F.col("text")).alias("vector")
-    )
+    ).localCheckpoint(eager=True)
     n_total = distinct_texts.count()
     n_miss = encoded.count()
-    catalog.merge_by_key(cache_table, encoded, ["content_hash"])
+    # misses are by construction NEW cache keys (anti-joined above), so the
+    # merge degenerates to an append — Iceberg's fast-append snapshot, O(new)
+    # instead of an O(table) rewrite.
+    if n_miss:
+        catalog.append(cache_table, encoded)
 
-    cache_now = catalog.read(cache_table)
+    cache_now = catalog.read(cache_table, schema=EMBEDDING_CACHE)
     out = hashed.join(cache_now, "content_hash", "left")
     counters = {
         "distinct_texts": n_total,
         "cache_misses": n_miss,
         "cache_hits": n_total - n_miss,
+        # rows the encoder ACTUALLY processed — equals cache_misses iff the
+        # UDF ran exactly once (plan re-execution would double it)
+        "encoded_rows": encode_acc.value,
     }
     return out, counters

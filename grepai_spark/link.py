@@ -96,36 +96,39 @@ def mention_tool_overlap(
     line-range-overlap join that maps chunks to symbols in the reference
     (/root/reference/rpg/indexer.go:387-442, predicate rpg/indexer.go:473-475).
 
-    Plan shape: equi-join on conv_id + a band predicate on turn_idx. The
-    equi key carries the shuffle (co-partitioning both sides by conv_id);
-    the band condition evaluates inside the join — no cross product. At
-    corpus scale both sides are bucketed by conv_id so this is a local join
-    per bucket; AQE splits any mega-thread partition.
+    Plan shape: each mention EXPLODES to its (2*window+1) candidate turn
+    keys, then a pure equi-join on (conv_id, t_turn). Joining on conv_id
+    alone with the band as a post-join filter would materialize
+    |mentions| x |calls| rows per conversation first — quadratic in exactly
+    the mega-thread case the north rule names (one conv holding ~25% of all
+    turns), and AQE can only split partitions, not shrink the per-key pair
+    count. The explode trades that for a fixed (2*window+1)x row expansion;
+    per composite key the group is a single turn, so no key is ever hot.
     """
     m = mentions.select(
         "conv_id",
         F.col("turn_idx").alias("m_turn"),
         "mention",
+    ).withColumn(
+        "t_turn",
+        F.explode(
+            F.sequence(
+                F.col("m_turn") - window, F.col("m_turn") + window
+            )
+        ),
     )
     c = calls.select(
         "conv_id",
         F.col("turn_idx").alias("t_turn"),
         F.col("obj").alias("tool"),
     )
-    return (
-        m.join(c, "conv_id")
-        .where(
-            (F.col("t_turn") >= F.col("m_turn") - window)
-            & (F.col("t_turn") <= F.col("m_turn") + window)
-        )
-        .select(
-            "conv_id",
-            "m_turn",
-            "mention",
-            "t_turn",
-            "tool",
-            F.abs(F.col("t_turn") - F.col("m_turn")).cast("int").alias("dist"),
-        )
+    return m.join(c, ["conv_id", "t_turn"]).select(
+        "conv_id",
+        "m_turn",
+        "mention",
+        "t_turn",
+        "tool",
+        F.abs(F.col("t_turn") - F.col("m_turn")).cast("int").alias("dist"),
     )
 
 

@@ -100,6 +100,7 @@ def run(
                 "canonical_id",
             ),
             ["bucket"],
+            partition_by=["bucket"],
         )
         out_counts = linked.groupBy("bucket").agg(
             F.count("*").alias("rows_out")
@@ -129,6 +130,7 @@ def run(
                     "bucket", "conv_id", "turn_idx", "content_hash", "vector"
                 ),
                 ["bucket"],
+                partition_by=["bucket"],
             )
             out_counts = vec.groupBy("bucket").agg(
                 F.count("*").alias("rows_out")
@@ -167,6 +169,7 @@ def run(
                 "bucket", "subj", "pred", "obj", "conv_id", "turn_idx", "weight"
             ),
             ["bucket"],
+            partition_by=["bucket"],
         )
         out_counts = edges_b.groupBy("bucket").agg(
             F.count("*").alias("rows_out")

@@ -67,16 +67,36 @@ class Catalog:
         df.write.mode("append").parquet(self.path(table))
 
     def merge_by_key(
-        self, table: str, updates: DataFrame, keys: list[str]
+        self,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
     ) -> None:
         """Idempotent upsert (Iceberg: MERGE INTO ... WHEN MATCHED UPDATE).
 
-        Implemented as anti-join existing rows against update keys, union,
-        atomic swap. Last-write-wins per key is safe for our tables: vectors
-        are deterministic functions of the key and lineage is append-ish.
+        When the merge key IS the partition key (`partition_by == keys`, the
+        pipeline's per-bucket stage merges), this is a dynamic partition
+        overwrite: ONLY the dirty partitions are rewritten — Iceberg's
+        overwritePartitions / replaceWhere — so a resume that recomputes 2 of
+        16 buckets pays O(2 buckets), not O(table), and untouched bucket
+        files are not rewritten at all.
+
+        Otherwise (row-level keys): anti-join existing rows against update
+        keys, union, atomic swap. Last-write-wins per key is safe for our
+        tables: vectors are deterministic functions of the key and lineage
+        is append-ish.
         """
         if not self.exists(table):
-            self.overwrite(table, updates)
+            self.overwrite(table, updates, partition_by=partition_by)
+            return
+        if partition_by and set(partition_by) == set(keys):
+            (
+                updates.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_by)
+                .parquet(self.path(table))
+            )
             return
         existing = self.read(table)
         kept = existing.join(

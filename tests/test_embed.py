@@ -79,3 +79,17 @@ def test_content_hash_is_sha256(spark):
     df = spark.createDataFrame([("abc",)], ["text"])
     got = with_content_hash(df).first()["content_hash"]
     assert got == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_encoder_runs_exactly_once_per_miss(spark, sf_transcripts, tmp_path):
+    """The encoder UDF is the dominant Python cost; the checkpoint in
+    embed_with_cache must prevent the count+merge pair from executing it
+    twice. encoded_rows is an executor-side accumulator — re-executed plans
+    double it."""
+    cat = Catalog(spark, str(tmp_path / "cat_once"))
+    _, c1 = embed_with_cache(cat, sf_transcripts)
+    assert c1["encoded_rows"] == c1["cache_misses"]
+    # warm rerun: no misses, encoder never invoked
+    _, c2 = embed_with_cache(cat, sf_transcripts)
+    assert c2["cache_misses"] == 0
+    assert c2["encoded_rows"] == 0

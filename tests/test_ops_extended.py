@@ -139,3 +139,46 @@ def test_chunk_turns_reconstruction_property(spark):
             c["chunk_text"][CHUNK_OVERLAP:] for c in chunks[1:]
         )
         assert rebuilt == text
+
+
+def test_mention_tool_overlap_is_equi_join(spark, tiny_transcripts):
+    """The band predicate must be pre-joined away (mentions explode to their
+    window keys), NOT applied as a filter over a conv_id-only join — the
+    latter materializes |mentions| x |calls| per conversation and goes
+    quadratic on a mega-thread."""
+    m = extract.detect_mentions(tiny_transcripts, alias_dict_df(spark))
+    c = extract.call_triples(tiny_transcripts)
+    plan = (
+        link.mention_tool_overlap(m, c)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines, plan
+    # the composite turn key is part of the join condition itself
+    assert any("t_turn" in l for l in join_lines), plan
+    # and no post-join band filter remains (>= / <= between the turn cols)
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert not ("m_turn" in line and "t_turn" in line), line
+
+
+def test_mention_tool_overlap_mega_thread(spark):
+    """One conversation holding ALL turns (the north rule's mega-thread):
+    the pre-join explode keeps this linear — 5x row expansion, never
+    |mentions| x |calls|."""
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    base = spark.range(n).select(
+        F.lit("mega").alias("conv_id"), F.col("id").cast("int").alias("turn_idx")
+    )
+    m = base.select("conv_id", "turn_idx", F.lit("FetchData").alias("mention"))
+    c = base.select(
+        "conv_id", "turn_idx", F.lit("payments.charge").alias("obj")
+    )
+    out = link.mention_tool_overlap(m, c, window=2)
+    # every interior mention matches 5 turns; 3 edge turns on each side
+    # lose 1..2 matches: total = 5n - 6
+    assert out.count() == 5 * n - 6

@@ -130,3 +130,43 @@ def test_pipeline_resume_after_embed_kill(spark, tiny_transcripts, tmp_path):
         spark, tiny_transcripts, d, str(tmp_path / "clean2"), embed=True
     )
     assert _triple_set(res.edges) == _triple_set(clean.edges)
+
+
+def test_merge_rewrites_only_dirty_buckets(spark, tmp_path):
+    """Partition-scoped merge (Iceberg overwritePartitions stand-in): merging
+    updates for one bucket must leave every other bucket's files untouched
+    on disk — not rewrite the whole table."""
+    import glob
+    import os
+    import time
+
+    from grepai_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_merge"))
+    df = spark.createDataFrame(
+        [(b, i) for b in range(4) for i in range(10)], "bucket int, v int"
+    )
+    cat.merge_by_key("t", df, ["bucket"], partition_by=["bucket"])
+
+    def mtimes():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(str(tmp_path / "cat_merge/t/bucket=*/*.parquet"))
+        }
+
+    before = mtimes()
+    assert before
+    time.sleep(1.1)
+    upd = spark.createDataFrame(
+        [(2, i + 100) for i in range(5)], "bucket int, v int"
+    )
+    cat.merge_by_key("t", upd, ["bucket"], partition_by=["bucket"])
+    after = mtimes()
+    for p, m in before.items():
+        if "bucket=2" not in p:
+            assert after.get(p) == m, f"clean bucket file rewritten: {p}"
+    got = {(r["bucket"], r["v"]) for r in cat.read("t").collect()}
+    want = {(b, i) for b in (0, 1, 3) for i in range(10)} | {
+        (2, i + 100) for i in range(5)
+    }
+    assert got == want

@@ -282,3 +282,17 @@ def test_frame_sample_counts_match_meta(spark, docs):
     sample = frames.where("doc_id = 0").collect()
     idxs = sorted(r["frame_idx"] for r in sample)
     assert idxs == list(range(0, (idxs[-1] + 1) if idxs else 0, multimodal.FRAME_SAMPLE_EVERY))[: len(idxs)]
+
+
+def test_near_dup_cell_cap_bounds_hot_cell(spark):
+    """One hot cell must never go O(k^2): membership is capped
+    deterministically (first `cell_cap` ids) before pairing."""
+    rows = [(i, 0, [1.0, 0.0]) for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = ann.near_dup_cosine_pairs(emb, threshold=0.9, cell_cap=10)
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    # only the first 10 ids participate -> C(10,2) pairs, none beyond id 9
+    assert len(pairs) == 45
+    assert max(b for _, b in pairs) == 9
