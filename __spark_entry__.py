@@ -165,6 +165,19 @@ def _q_feature_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.feature_freq_topn(_q_mentions(spark, sf_dir), 10)
 
 
+def _q_verb_object_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F2 verb-object synthesis (ref rpg/extractor_local.go:39-134) applied to
+    # every detected mention: label frequencies over the corpus.
+    from grepai_spark.naming import verb_object_col_staged
+
+    m = verb_object_col_staged(_q_mentions(spark, sf_dir), "mention")
+    return (
+        m.groupBy("feature")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("feature")
+    )
+
+
 def _q_modal_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.modal_cluster_per_conv(_q_mentions(spark, sf_dir))
 
@@ -212,6 +225,21 @@ def _q_fetch_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
         _kg_edges(spark, sf_dir),
         FETCH_SEED,
+        transcripts=load_transcripts(spark, sf_dir),
+    )
+
+
+# G5 scope/glob parameters exercised by the scoped search query
+SEARCH_SCOPES = ["entity/fetch"]
+SEARCH_GLOB = "*etch*"
+
+
+def _q_search_nodes_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graphq.search_nodes(
+        pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
+        NODE_QUERY,
+        scopes=SEARCH_SCOPES,
+        name_glob=SEARCH_GLOB,
     )
 
 
@@ -236,6 +264,17 @@ def _q_enrich_area_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.chunk_turns(load_transcripts(spark, sf_dir))
+
+
+def _q_drift_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 drift-gated re-placement (ref rpg/evolver.go:179-231): "old" state =
+    # mentions from even turns only, "new" = all turns — a deterministic
+    # incremental-update stand-in the oracle reproduces.
+    from grepai_spark.drift import drift_gated_placements
+
+    m = _q_mentions(spark, sf_dir)
+    old = m.where(F.col("turn_idx") % 2 == 0)
+    return drift_gated_placements(old, m)
 
 
 def _q_conv_tool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callees": _q_callees,
         "bfs_depth2": _q_bfs,
         "search_nodes": _q_search_nodes,
+        "search_nodes_scoped": _q_search_nodes_scoped,
         "feature_freq": _q_feature_freq,
+        "verb_object_features": _q_verb_object_features,
         "modal_cluster": _q_modal_cluster,
         "index_stats": _q_index_stats,
         "tool_hierarchy": _q_tool_hierarchy,
@@ -365,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_area_labels": _q_enrich_area_labels,
         "chunk_turns": _q_chunk_turns,
         "conv_tool_profile": _q_conv_tool_profile,
+        "drift_placements": _q_drift_placements,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_pairs": _q_dedup_ngram,
         "dedup_minhash_pairs": _q_dedup_minhash,
@@ -413,7 +455,14 @@ def oracle_sql() -> dict[str, str]:
         "search_nodes": oracles.search_nodes_oracle(
             search.tokenize_query(NODE_QUERY)
         ),
+        "search_nodes_scoped": oracles.search_nodes_oracle(
+            search.tokenize_query(NODE_QUERY),
+            scopes=SEARCH_SCOPES,
+            glob_regex=graphq.glob_to_regex(SEARCH_GLOB),
+            glob_core=graphq.glob_fallback_core(SEARCH_GLOB),
+        ),
         "feature_freq": oracles.feature_freq_oracle(10),
+        "verb_object_features": oracles.verb_object_features_oracle(),
         "modal_cluster": oracles.modal_cluster_oracle(),
         "index_stats": oracles.index_stats_oracle(),
         "tool_hierarchy": oracles.tool_hierarchy_oracle(),
@@ -430,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_tool_profile": skew.conv_tool_profile_oracle(
             oracles.TRANSCRIPTS_REL
         ),
+        "drift_placements": oracles.drift_placements_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(oracles.TRANSCRIPTS_REL),
         "dedup_ngram_pairs": dedup.ngram_jaccard_pairs_oracle(),
         "dedup_minhash_pairs": dedup.minhash_lsh_pairs_oracle(),

@@ -151,6 +151,25 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, dim, c): the IVF coarse-quantizer centroid table.
+
+    At corpus scale this is built ONCE (a batch job over the embedding
+    table: posexplode + groupBy(cell, dim), map-side combinable) and stored;
+    every query then reads n_cells x dim rows instead of re-aggregating the
+    full corpus. ivf_topk accepts it precomputed for exactly that reason.
+    """
+    comp = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    return comp.groupBy("cell", "dim").agg(F.avg("val").alias("c"))
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -159,20 +178,20 @@ def ivf_topk(
     cell_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank coarse cells by centroid·query, probe the best
     `nprobe` cells with exact cosine.
 
-    Centroids via posexplode + groupBy(cell, dim) — a shuffle proportional to
-    n_cells*dim only after map-side partial aggregation. The probed scan is
-    an IN-filter on the cell column (partition pruning at scale).
+    Pass `centroids` (from :func:`ivf_centroids`, stored as a table) so the
+    per-query cost is n_cells x dim + the probed fraction of the corpus —
+    recomputing centroids per query would rescan everything. The probed
+    scan is an IN-filter on the cell column (partition pruning at scale).
     """
     qn = sum(x * x for x in query_vec) ** 0.5
-    comp = emb.select(
-        F.col(cell_col).alias("cell"),
-        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    cent = centroids if centroids is not None else ivf_centroids(
+        emb, cell_col, vec_col
     )
-    cent = comp.groupBy("cell", "dim").agg(F.avg("val").alias("c"))
     qarr = F.lit(query_vec).cast("array<double>")
     scored_cells = (
         cent.withColumn("q", F.element_at(qarr, F.col("dim") + 1))

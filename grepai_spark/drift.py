@@ -1,0 +1,100 @@
+"""W3 — drift-gated hierarchy re-placement.
+
+The reference re-places a file in the hierarchy ONLY when its feature set
+drifted enough: drift = 1 - Jaccard(old feature word set, new feature word
+set), re-place iff drift >= threshold (default 0.3)
+(/root/reference/rpg/evolver.go:179-231; calculateDrift
+rpg/evolver.go:325-345; threshold config/config.go:299,440).
+
+Graft: a conversation's "hierarchy placement" is its modal feature cluster
+(aggs.modal_cluster_per_conv = the subcategory assignment). On an
+incremental update the placement only moves if the conversation's
+verb-object feature words drifted >= threshold — churn damping so tiny
+wording edits don't reshuffle the hierarchy. Pure groupBy + one full-outer
+join on conv_id: both sides shuffle once on a uniform key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grepai_spark.naming import verb_object_col_staged
+
+DRIFT_THRESHOLD = 0.3  # ref: config/config.go:299,440
+
+
+def conv_feature_words(mentions: DataFrame) -> DataFrame:
+    """(conv_id, words): the atomicWordSet analog (ref rpg/features.go:148-160)
+    — distinct words of all verb-object feature labels per conversation."""
+    feats = verb_object_col_staged(mentions, "mention")
+    return feats.groupBy("conv_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_set(F.split(F.col("feature"), "-")))
+            )
+        ).alias("words")
+    )
+
+
+def feature_drift(
+    old_mentions: DataFrame, new_mentions: DataFrame
+) -> DataFrame:
+    """(conv_id, drift): calculateDrift per conversation over a full-outer
+    join — 0.0 if both word sets empty/absent, 1.0 if exactly one is,
+    else 1 - Jaccard."""
+    ow = conv_feature_words(old_mentions).withColumnRenamed("words", "ow")
+    nw = conv_feature_words(new_mentions).withColumnRenamed("words", "nw")
+    j = ow.join(nw, "conv_id", "full_outer")
+    o = F.coalesce(F.col("ow"), F.expr("array()"))
+    n = F.coalesce(F.col("nw"), F.expr("array()"))
+    drift = (
+        F.when((F.size(o) == 0) & (F.size(n) == 0), F.lit(0.0))
+        .when((F.size(o) == 0) | (F.size(n) == 0), F.lit(1.0))
+        .otherwise(
+            1.0
+            - F.size(F.array_intersect(o, n))
+            / F.size(F.array_union(o, n)).cast("double")
+        )
+    )
+    return j.select("conv_id", F.round(drift, 6).alias("drift"))
+
+
+def drift_gated_placements(
+    old_mentions: DataFrame,
+    new_mentions: DataFrame,
+    threshold: float = DRIFT_THRESHOLD,
+) -> DataFrame:
+    """Per-conversation placement after an incremental update
+    (ref ensureFileHierarchyPlacement, rpg/evolver.go:179-231):
+
+    * new conversation (no old placement)  -> place at the new cluster
+    * drift >= threshold                   -> re-place at the new cluster
+    * drift <  threshold                   -> KEEP the old placement
+
+    Output: (conv_id, cluster, drift, replaced boolean).
+    """
+    from grepai_spark.aggs import modal_cluster_per_conv
+
+    oc = modal_cluster_per_conv(old_mentions).select(
+        "conv_id", F.col("cluster").alias("old_cluster")
+    )
+    nc = modal_cluster_per_conv(new_mentions).select(
+        "conv_id", F.col("cluster").alias("new_cluster")
+    )
+    d = feature_drift(old_mentions, new_mentions)
+    j = (
+        nc.join(oc, "conv_id", "left")
+        .join(d, "conv_id", "left")
+    )
+    replace = F.col("old_cluster").isNull() | (
+        F.col("drift") >= F.lit(threshold)
+    )
+    return j.select(
+        "conv_id",
+        F.when(replace, F.col("new_cluster"))
+        .otherwise(F.col("old_cluster"))
+        .alias("cluster"),
+        F.coalesce("drift", F.lit(1.0)).alias("drift"),
+        replace.alias("replaced"),
+    )

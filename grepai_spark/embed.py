@@ -34,6 +34,12 @@ from grepai_spark.storage import Catalog
 
 _TOKEN_SPLIT = r"[^0-9a-z]+"
 
+# C3 — deterministic input truncation inside the encoder (the reference
+# re-chunks on context overflow, indexer/chunker.go:175-277; with a local
+# deterministic encoder the equivalent is a hard cap): 512 tokens x ~4
+# chars/token, the reference chunk size (indexer/chunker.go:11-15).
+MAX_EMBED_CHARS = 2048
+
 
 def _token_slot(tok: str, dim: int) -> tuple[int, float]:
     h = zlib.crc32(tok.encode("utf-8"))
@@ -46,12 +52,12 @@ def py_encode(text: str, dim: int = EMBED_DIM) -> list[float]:
     """Pure-Python twin — used for query vectors on the driver and in tests.
 
     Deterministic hashed bag-of-words projection, L2-normalized. Empty text
-    -> zero vector.
+    -> zero vector. Input truncated at MAX_EMBED_CHARS (C3).
     """
     import re
 
     v = np.zeros(dim, dtype=np.float64)
-    for tok in re.split(_TOKEN_SPLIT, (text or "").lower()):
+    for tok in re.split(_TOKEN_SPLIT, (text or "")[:MAX_EMBED_CHARS].lower()):
         if tok:
             idx, sign = _token_slot(tok, dim)
             v[idx] += sign
@@ -84,7 +90,8 @@ def make_encoder_udf(dim: int = EMBED_DIM, row_counter=None):
         out = []
         for text in texts.fillna(""):
             v = np.zeros(dim, dtype=np.float64)
-            for tok in splitter.split(text.lower()):
+            # C3: hard input cap — the re-chunk-on-overflow analog
+            for tok in splitter.split(text[:MAX_EMBED_CHARS].lower()):
                 if not tok:
                     continue
                 s = slot_cache.get(tok)
@@ -124,8 +131,26 @@ def embed_with_cache(
     hashed = with_content_hash(turns)
     cache = catalog.read(cache_table, schema=EMBEDDING_CACHE)
 
-    distinct_texts = hashed.select("content_hash", "text").dropDuplicates(
-        ["content_hash"]
+    # C2 — context prefixing (ref chunker.go:160-170 prepends "File: <path>"
+    # to EmbedContent while caching by raw-content hash): the encoder sees
+    # "conv: <id> / <role>\n\n<text>"; the CACHE KEY stays the raw-text hash,
+    # so — exactly like the reference — duplicate texts share one vector and
+    # the context of the deterministically-first occurrence (min conv_id,
+    # turn_idx) wins.
+    distinct_texts = (
+        hashed.groupBy("content_hash")
+        .agg(F.min(F.struct("conv_id", "turn_idx", "role", "text")).alias("m"))
+        .select(
+            "content_hash",
+            F.concat(
+                F.lit("conv: "),
+                F.col("m.conv_id"),
+                F.lit(" / "),
+                F.col("m.role"),
+                F.lit("\n\n"),
+                F.col("m.text"),
+            ).alias("embed_text"),
+        )
     )
     misses = distinct_texts.join(
         cache.select("content_hash"), "content_hash", "left_anti"
@@ -137,7 +162,7 @@ def embed_with_cache(
     # re-executing the encoder UDF (the single most expensive Python stage —
     # running it twice doubles the pipeline's dominant cost at corpus scale).
     encoded = misses.select(
-        "content_hash", encoder(F.col("text")).alias("vector")
+        "content_hash", encoder(F.col("embed_text")).alias("vector")
     ).localCheckpoint(eager=True)
     n_total = distinct_texts.count()
     n_miss = encoded.count()

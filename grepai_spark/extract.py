@@ -59,6 +59,24 @@ _MENTION_ELEM = StructType(
     [StructField("mention", StringType()), StructField("pos", IntegerType())]
 )
 
+# P5/P6 analog — the reference drops regex matches inside string/comment
+# regions via a byte mask (/root/reference/trace/extractor.go:540-702). The
+# transcript equivalent: mentions inside ``` code fences are not matches.
+# Fenced spans are replaced by a single space (not stripped) so word
+# boundaries at the seams stay intact; `pos` remains the first LITERAL
+# occurrence in the ORIGINAL text, mirroring the oracle's strpos.
+FENCE_RE = re.compile(r"```.*?```", re.S)
+FENCE_MASK_SQL = {
+    # balanced fences only; both engines replace ALL matches
+    "spark": lambda col: f"regexp_replace({col}, '(?s)```.*?```', ' ')",
+    "duckdb": lambda col: f"regexp_replace({col}, '```.*?```', ' ', 'gs')",
+}
+
+
+def mask_fences(text: str) -> str:
+    """Python twin of FENCE_MASK_SQL (used by the golden oracle and UDF)."""
+    return FENCE_RE.sub(" ", text) if "```" in text else text
+
 
 def _make_mention_detector(aliases: list[str]):
     """Build the Arrow-batched detector for a fixed alias list.
@@ -98,10 +116,14 @@ def _make_mention_detector(aliases: list[str]):
             if not text:
                 out.append(empty)
                 continue
+            # P5/P6: detection runs on the fence-masked text; pos reports
+            # the first literal occurrence in the ORIGINAL text (the same
+            # split the SQL oracle makes).
+            masked = mask_fences(text)
             found: list[dict] = []
-            n = len(text)
+            n = len(masked)
             for a in ordered:
-                p = text.find(a)
+                p = masked.find(a)
                 if p == -1:
                     continue
                 # cheap boundary test at the first occurrence; fall back to a
@@ -109,13 +131,12 @@ def _make_mention_detector(aliases: list[str]):
                 # (an alias may still boundary-match later in the text)
                 end = p + lens[a]
                 if (
-                    (p == 0 or text[p - 1] not in word_chars)
-                    and (end >= n or text[end] not in word_chars)
-                ) or patterns[a].search(text):
-                    # pos = 1-based FIRST LITERAL occurrence (matches the
-                    # oracle's strpos/instr), which may precede the first
-                    # boundary match when the alias is embedded earlier.
-                    found.append({"mention": a, "pos": p + 1})
+                    (p == 0 or masked[p - 1] not in word_chars)
+                    and (end >= n or masked[end] not in word_chars)
+                ) or patterns[a].search(masked):
+                    found.append(
+                        {"mention": a, "pos": text.find(a) + 1}
+                    )
             out.append(found or empty)
         return pd.Series(out)
 
@@ -225,11 +246,12 @@ def mentions_oracle_sql(transcripts_rel: str, dialect: str) -> str:
     dictionary with a word-boundary regex — same semantics as the UDF."""
     from grepai_spark.synth import alias_dict_values_sql
 
+    masked = FENCE_MASK_SQL[dialect]("t.text")
     if dialect == "spark":
-        boundary = "t.text rlike concat('\\\\b', d.alias, '\\\\b')"
+        boundary = f"{masked} rlike concat('\\\\b', d.alias, '\\\\b')"
         strpos = "instr(t.text, d.alias)"
     else:
-        boundary = "regexp_matches(t.text, '\\b' || d.alias || '\\b')"
+        boundary = f"regexp_matches({masked}, '\\b' || d.alias || '\\b')"
         strpos = "strpos(t.text, d.alias)"
     return f"""
 SELECT t.conv_id, t.turn_idx, t.role, d.alias AS mention,

@@ -97,14 +97,51 @@ def bfs(
     return visited.orderBy("depth", "node")
 
 
+def glob_to_regex(pattern: str) -> str:
+    """filepath.Match-subset glob -> anchored regex ('*' and '?' do not
+    cross '/'), the reference's path-glob semantics
+    (rpg/query.go:484-506). Computed driver-side so the Spark plan and the
+    DuckDB oracle embed the IDENTICAL regex literal."""
+    import re as _re
+
+    out = "^"
+    for ch in pattern:
+        if ch == "*":
+            out += "[^/]*"
+        elif ch == "?":
+            out += "[^/]"
+        else:
+            out += _re.escape(ch)
+    return out + "$"
+
+
+def glob_fallback_core(pattern: str) -> str:
+    """The reference's contains-fallback for patterns filepath.Match can't
+    express (e.g. **/*.go): strip a '**/' prefix and surrounding '*'s; the
+    remainder is substring-matched (rpg/query.go:499-505)."""
+    p = pattern.strip()
+    if p.startswith("**/"):
+        p = p[3:]
+    return p.strip("*")
+
+
 def search_nodes(
     vertices: DataFrame,
     query: str,
     k: int = 10,
     kind: str | None = None,
+    scopes: list[str] | None = None,
+    name_glob: str | None = None,
 ) -> DataFrame:
     """Jaccard(query tokens, name∪alias tokens) node search (G5;
-    scoring ref: rpg/query.go:666-711)."""
+    scoring ref: rpg/query.go:666-711).
+
+    `scopes`: case-insensitive prefix filters on the node's feature path
+    (ref matchesAnyScope, rpg/query.go:467-482) — a node passes if its
+    feature path starts with ANY scope. `name_glob`: glob filter on the
+    canonical name — the graft analog of the reference's file-path glob
+    (rpg/query.go:484-506), including its contains-fallback."""
+    from grepai_spark.naming import first_token_sql, norm_key_sql
     from grepai_spark.search import tokenize_query
 
     qtok = tokenize_query(query)
@@ -124,6 +161,31 @@ def search_nodes(
     out = v.withColumn("score", score).where(F.col("score") > 0)
     if kind:
         out = out.where(F.col("kind") == kind)
+    if scopes:
+        fp = F.lower(
+            F.concat_ws(
+                "/",
+                F.col("kind"),
+                F.expr(first_token_sql("canonical_name")),
+                F.expr(norm_key_sql("canonical_name")),
+            )
+        )
+        cond = None
+        for s in scopes:
+            s = s.strip().lower()
+            if not s:
+                continue
+            c = fp.startswith(s)
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            out = out.where(cond)
+    if name_glob and name_glob.strip() not in ("", "**/*"):
+        rx = glob_to_regex(name_glob)
+        core = glob_fallback_core(name_glob)
+        cond = F.col("canonical_name").rlike(rx)
+        if core:
+            cond = cond | F.col("canonical_name").contains(core)
+        out = out.where(cond)
     return (
         out.orderBy(F.desc("score"), F.asc("entity_id"))
         .limit(k)
@@ -163,10 +225,28 @@ def prune_orphan_vertices(
     return vertices.join(endpoints, "entity_id", "left_semi")
 
 
+PREVIEW_LEN = 200  # F8 truncation analog (ref trace/extractor.go:1038-1077)
+
+
 def fetch_node(
-    vertices: DataFrame, edges: DataFrame, entity_id: str
+    vertices: DataFrame,
+    edges: DataFrame,
+    entity_id: str,
+    transcripts: DataFrame | None = None,
+    preview_len: int = PREVIEW_LEN,
 ) -> DataFrame:
-    """Node + its incident edges with neighbor names (G6) as flat rows."""
+    """Node + incident edges with neighbor names (G6) as flat rows, plus the
+    reference's FetchNode context (rpg/query.go:205-273,648-662):
+
+    * parent_chain — the hierarchy walk (area > category > subcategory in
+      the reference) collapsed to a projection, since the graft hierarchy
+      has fixed depth: kind > first-token cluster > normalized key.
+    * preview — the code-preview analog: the EARLIEST turn referencing this
+      entity, truncated to `preview_len` chars (deterministic min over
+      (conv_id, turn_idx)); joined from transcripts when provided.
+    """
+    from grepai_spark.naming import first_token_sql, norm_key_sql
+
     v = vertices.where(F.col("entity_id") == entity_id)
     out_e = edges.where(F.col("subj") == entity_id).select(
         F.lit("out").alias("dir"),
@@ -183,6 +263,35 @@ def fetch_node(
     both = out_e.union(in_e).groupBy("dir", "pred", "neighbor").agg(
         F.count("*").alias("n"), F.round(F.sum("weight"), 6).alias("w")
     )
-    return both.crossJoin(
-        F.broadcast(v.select("canonical_name", "kind"))
-    ).orderBy("dir", "pred", "neighbor")
+    vmeta = v.select(
+        "canonical_name",
+        "kind",
+        F.concat_ws(
+            " > ",
+            F.col("kind"),
+            F.expr(first_token_sql("canonical_name")),
+            F.expr(norm_key_sql("canonical_name")),
+        ).alias("parent_chain"),
+    )
+    res = both.crossJoin(F.broadcast(vmeta))
+    if transcripts is not None:
+        # one-row aggregate (min struct) so an entity with no turn-level
+        # edge still yields rows with an empty preview
+        prev = (
+            edges.where(
+                (F.col("obj") == entity_id) & (F.col("conv_id") != "*")
+            )
+            .select("conv_id", "turn_idx")
+            .join(
+                transcripts.select("conv_id", "turn_idx", "text"),
+                ["conv_id", "turn_idx"],
+            )
+            .agg(F.min(F.struct("conv_id", "turn_idx", "text")).alias("m"))
+            .select(
+                F.coalesce(
+                    F.substring(F.col("m.text"), 1, preview_len), F.lit("")
+                ).alias("preview")
+            )
+        )
+        res = res.crossJoin(F.broadcast(prev))
+    return res.orderBy("dir", "pred", "neighbor")

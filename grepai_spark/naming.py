@@ -113,3 +113,134 @@ def py_jaccard(a: list[str], b: list[str]) -> float:
     sa, sb = set(a), set(b)
     u = sa | sb
     return (len(sa & sb) / len(u)) if u else 0.0
+
+
+# ---------------------------------------------------------------------------
+# F2 — verb-object feature synthesis
+# (ref lexicon + rules: /root/reference/rpg/extractor_local.go:39-134;
+#  4-word cap: rpg/extractor_local.go:169-176)
+# ---------------------------------------------------------------------------
+
+# the reference's knownVerbs lexicon, verbatim (a parity data table)
+VERBS = (
+    "get set new create delete remove update handle process validate parse "
+    "format convert build init close open read write send receive start stop "
+    "run execute check is has can should find search lookup save load persist "
+    "encode decode marshal unmarshal register add make do list count reset "
+    "flush sync fetch put patch apply resolve notify emit on to from with "
+    "ensure assert test bench serve listen connect disconnect subscribe "
+    "unsubscribe publish lock unlock wait signal log print render draw sort "
+    "filter map reduce merge split join append insert pop push peek scan walk "
+    "visit traverse compute calculate measure wrap unwrap extract inject "
+    "index reindex rebuild refresh compile transform configure setup teardown "
+    "destroy dispose release acquire allocate free enable disable toggle show "
+    "hide expand collapse match compare diff clone copy move rename swap trim "
+    "strip clean sanitize normalize flatten chunk embed query watch poll dial "
+    "accept bind attach detach mount unmount"
+).split()
+
+_VERB_SET = frozenset(VERBS)
+FEATURE_WORD_CAP = 4  # ref: buildLabel, rpg/extractor_local.go:169-176
+
+
+def py_surface_tokens(name: str) -> list[str]:
+    """splitName twin: surface-ordered lowercase words (dups kept)."""
+    s = _PY_ACRO.sub(r"\1 \2", name or "")
+    s = _PY_CAMEL.sub(r"\1 \2", s)
+    return [t for t in _PY_SEP.split(s.lower()) if t]
+
+
+def py_verb_object(name: str) -> str:
+    """Verb-object feature label (ExtractAtomicFeatures rules):
+    verb-first name -> as-is; verb mid-name -> reordered verb-first;
+    no verb -> 'operate-' prefixed; capped at 4 words, kebab-joined."""
+    toks = py_surface_tokens(name)
+    if not toks:
+        return "unknown"
+    vi = next((i for i, t in enumerate(toks) if t in _VERB_SET), None)
+    if vi is None:
+        words = ["operate", *toks]
+    elif vi == 0:
+        words = toks
+    else:
+        words = [toks[vi], *toks[:vi], *toks[vi + 1 :]]
+    return "-".join(words[:FEATURE_WORD_CAP])
+
+
+def _surface_tokens_sql(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        g1, g2 = "$1", "$2"
+        split = f"split(lower(regexp_replace(regexp_replace({col}, '{_ACRO}', '{g1} {g2}'), '{_CAMEL}', '{g1} {g2}')), '{_SEP}')"
+        return f"filter({split}, x -> x != '')"
+    g1, g2 = "\\1", "\\2"
+    split = f"regexp_split_to_array(lower(regexp_replace(regexp_replace({col}, '{_ACRO}', '{g1} {g2}', 'g'), '{_CAMEL}', '{g1} {g2}', 'g')), '{_SEP}')"
+    return f"list_filter({split}, x -> x != '')"
+
+
+def _verbs_array_sql(dialect: str) -> str:
+    body = ", ".join(f"'{v}'" for v in VERBS)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
+def verb_object_sql(col: str, dialect: str = "spark") -> str:
+    """One-expression SQL twin of :func:`py_verb_object`.
+
+    NOTE (Spark): the token split repeats inside this expression; in hot
+    paths use :func:`verb_object_col_staged` which binds the split as its
+    own projection first (HOF lambdas defeat subexpression elimination —
+    PERF.md #2). The one-expression form exists for oracle SQL parity.
+    """
+    toks = _surface_tokens_sql(col, dialect)
+    verbs = _verbs_array_sql(dialect)
+    if dialect == "spark":
+        # try_element_at: ANSI mode makes bare element_at throw on empty arrays
+        fv = f"try_element_at(filter({toks}, t -> array_contains({verbs}, t)), 1)"
+        pos = f"array_position({toks}, {fv})"
+        words = (
+            f"CASE WHEN size({toks}) = 0 THEN array('unknown')"
+            f" WHEN {pos} IS NULL THEN concat(array('operate'), {toks})"
+            f" WHEN {pos} = 1 THEN {toks}"
+            f" ELSE concat(array({fv}),"
+            f" slice({toks}, 1, CAST({pos} AS INT) - 1),"
+            f" slice({toks}, CAST({pos} AS INT) + 1, size({toks}))) END"
+        )
+        return f"array_join(slice({words}, 1, {FEATURE_WORD_CAP}), '-')"
+    fv = f"list_filter({toks}, t -> list_contains({verbs}, t))[1]"
+    pos = f"list_position({toks}, {fv})"
+    words = (
+        f"CASE WHEN len({toks}) = 0 THEN ['unknown']"
+        f" WHEN {pos} IS NULL THEN list_concat(['operate'], {toks})"
+        f" WHEN {pos} = 1 THEN {toks}"
+        f" ELSE list_concat(list_concat([{fv}],"
+        f" list_slice({toks}, 1, {pos} - 1)),"
+        f" list_slice({toks}, {pos} + 1, len({toks}))) END"
+    )
+    return f"array_to_string(list_slice({words}, 1, {FEATURE_WORD_CAP}), '-')"
+
+
+def verb_object_col_staged(df, col: str, out: str = "feature"):
+    """Hot-path Spark form: stage the expensive token split / verb lookup as
+    their own projections so whole-stage codegen computes each ONCE per row
+    (inlining them into the CASE re-evaluates the regex split up to 6x)."""
+    verbs = _verbs_array_sql("spark")
+    staged = (
+        df.withColumn("_vo_toks", F.expr(_surface_tokens_sql(col, "spark")))
+        .withColumn(
+            "_vo_fv",
+            F.expr(
+                f"try_element_at(filter(_vo_toks, t -> array_contains({verbs}, t)), 1)"
+            ),
+        )
+        .withColumn("_vo_pos", F.expr("array_position(_vo_toks, _vo_fv)"))
+    )
+    words = (
+        "CASE WHEN size(_vo_toks) = 0 THEN array('unknown')"
+        " WHEN _vo_pos IS NULL THEN concat(array('operate'), _vo_toks)"
+        " WHEN _vo_pos = 1 THEN _vo_toks"
+        " ELSE concat(array(_vo_fv),"
+        " slice(_vo_toks, 1, CAST(_vo_pos AS INT) - 1),"
+        " slice(_vo_toks, CAST(_vo_pos AS INT) + 1, size(_vo_toks))) END"
+    )
+    return staged.withColumn(
+        out, F.expr(f"array_join(slice({words}, 1, {FEATURE_WORD_CAP}), '-')")
+    ).drop("_vo_toks", "_vo_fv", "_vo_pos")

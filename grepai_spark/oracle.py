@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from grepai_spark.naming import py_first_token, py_jaccard, py_norm_tokens
 
 JACCARD_THRESHOLD = 0.5  # ref: /root/reference/rpg/indexer.go:19
+_FENCE = re.compile(r"```.*?```", re.S)
 
 
 @dataclass(frozen=True)
@@ -95,6 +96,12 @@ def golden_triples(
         if tool:
             out.add(Triple(role, "calls", tool, conv, idx))
         text = r.get("text") or ""
+        # P5/P6 analog: matches inside code fences are masked out
+        # (ref trace/extractor.go:540-702). Deliberately re-implemented here
+        # (not imported from extract.py) — this module is the independent
+        # implementation the pipeline is checked against.
+        if "```" in text:
+            text = _FENCE.sub(" ", text)
         for pat, cid, pred in pats:
             if pat.search(text):
                 out.add(Triple(role, pred, cid, conv, idx))

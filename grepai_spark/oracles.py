@@ -192,6 +192,17 @@ SELECT mention, cnt, rank FROM (
 """.strip()
 
 
+def verb_object_features_oracle() -> str:
+    from grepai_spark.naming import verb_object_sql
+
+    vo = verb_object_sql("mention", "duckdb")
+    return f"""
+SELECT {vo} AS feature, count(*) AS cnt
+FROM ({mentions_oracle()}) m
+GROUP BY feature ORDER BY feature
+""".strip()
+
+
 def modal_cluster_oracle() -> str:
     blk = first_token_sql("mention", "duckdb")
     return f"""
@@ -240,30 +251,52 @@ GROUP BY cluster, norm_key ORDER BY cluster, norm_key
 """.strip()
 
 
-def search_nodes_oracle(qtokens: list[str], k: int = 10) -> str:
+def search_nodes_oracle(
+    qtokens: list[str],
+    k: int = 10,
+    scopes: list[str] | None = None,
+    glob_regex: str | None = None,
+    glob_core: str | None = None,
+) -> str:
+    extra = ""
+    if scopes:
+        blk = first_token_sql("canonical_name", "duckdb")
+        key = norm_key_sql("canonical_name", "duckdb")
+        ors = " OR ".join(
+            f"starts_with(lower(kind || '/' || {blk} || '/' || {key}), '{s.strip().lower()}')"
+            for s in scopes
+            if s.strip()
+        )
+        extra += f" AND ({ors})"
+    if glob_regex:
+        g = f"regexp_matches(canonical_name, '{glob_regex}')"
+        if glob_core:
+            g += f" OR strpos(canonical_name, '{glob_core}') > 0"
+        extra += f" AND ({g})"
     toks = "[" + ", ".join(f"'{t}'" for t in qtokens) + "]"
     inner = norm_tokens_sql("a", "duckdb")
     return f"""
 WITH RECURSIVE {_canonical_map_ctes()},
 verts AS (
   SELECT comp.entity_id, min(nd.alias) AS canonical_name,
+         min(nd.kind) AS kind,
          list_sort(list_distinct(list(nd.alias))) AS aliases
   FROM nd JOIN comp ON nd.canonical_id = comp.canonical_id
   GROUP BY comp.entity_id
 ),
 scored AS (
-  SELECT entity_id, canonical_name,
+  SELECT entity_id, canonical_name, kind,
          round(CAST(len(list_intersect(node_tokens, {toks})) AS DOUBLE)
                / len(list_distinct(list_concat(node_tokens, {toks}))), 6) AS score
   FROM (
-    SELECT entity_id, canonical_name,
+    SELECT entity_id, canonical_name, kind,
            list_distinct(flatten(list_transform(
              list_concat([canonical_name], aliases), a -> {inner}))) AS node_tokens
     FROM verts
   ) v
 )
 SELECT entity_id, canonical_name, score FROM scored
-WHERE score > 0
+WHERE score > 0{extra}
 ORDER BY score DESC, entity_id
 LIMIT {k}
 """.strip()
@@ -413,7 +446,67 @@ GROUP BY a.conv_id, b.conv_id
 """.strip()
 
 
-def fetch_node_oracle(entity_id: str) -> str:
+def drift_placements_oracle(threshold: float = 0.3) -> str:
+    """W3 drift-gated re-placement (ref rpg/evolver.go:179-231,325-345):
+    old = even-turn mentions, new = all mentions; placement moves only when
+    1 - Jaccard(old feature words, new feature words) >= threshold."""
+    from grepai_spark.naming import verb_object_sql
+
+    vo = verb_object_sql("mention", "duckdb")
+    blk = first_token_sql("mention", "duckdb")
+    return f"""
+WITH m AS (SELECT * FROM ({mentions_oracle()}) mm),
+old_m AS (SELECT * FROM m WHERE turn_idx % 2 = 0),
+wo AS (
+  SELECT conv_id,
+         list_sort(list_distinct(flatten(list(str_split({vo}, '-'))))) AS ow
+  FROM old_m GROUP BY conv_id
+),
+wn AS (
+  SELECT conv_id,
+         list_sort(list_distinct(flatten(list(str_split({vo}, '-'))))) AS nw
+  FROM m GROUP BY conv_id
+),
+d AS (
+  SELECT COALESCE(wo.conv_id, wn.conv_id) AS conv_id,
+         round(CASE
+           WHEN COALESCE(len(wo.ow), 0) = 0 AND COALESCE(len(wn.nw), 0) = 0 THEN 0.0
+           WHEN COALESCE(len(wo.ow), 0) = 0 OR COALESCE(len(wn.nw), 0) = 0 THEN 1.0
+           ELSE 1.0 - CAST(len(list_intersect(wo.ow, wn.nw)) AS DOUBLE)
+                      / len(list_distinct(list_concat(wo.ow, wn.nw)))
+         END, 6) AS drift
+  FROM wo FULL OUTER JOIN wn ON wo.conv_id = wn.conv_id
+),
+oc AS (
+  SELECT conv_id, cluster FROM (
+    SELECT conv_id, cluster, row_number() OVER (PARTITION BY conv_id
+                                                ORDER BY cnt DESC, cluster) AS rn
+    FROM (SELECT conv_id, {blk} AS cluster, count(*) AS cnt
+          FROM old_m GROUP BY conv_id, {blk}) c
+  ) r WHERE rn = 1
+),
+nc AS (
+  SELECT conv_id, cluster FROM (
+    SELECT conv_id, cluster, row_number() OVER (PARTITION BY conv_id
+                                                ORDER BY cnt DESC, cluster) AS rn
+    FROM (SELECT conv_id, {blk} AS cluster, count(*) AS cnt
+          FROM m GROUP BY conv_id, {blk}) c
+  ) r WHERE rn = 1
+)
+SELECT nc.conv_id,
+       CASE WHEN oc.cluster IS NULL OR d.drift >= {threshold}
+            THEN nc.cluster ELSE oc.cluster END AS cluster,
+       COALESCE(d.drift, 1.0) AS drift,
+       (oc.cluster IS NULL OR d.drift >= {threshold}) AS replaced
+FROM nc
+LEFT JOIN oc ON nc.conv_id = oc.conv_id
+LEFT JOIN d ON nc.conv_id = d.conv_id
+""".strip()
+
+
+def fetch_node_oracle(entity_id: str, preview_len: int = 200) -> str:
+    blk = first_token_sql("v.canonical_name", "duckdb")
+    key = norm_key_sql("v.canonical_name", "duckdb")
     return f"""
 WITH e AS (SELECT * FROM {_edges_sub()} ee),
 v AS ({kg_vertices_oracle()}),
@@ -427,7 +520,15 @@ g AS (
          round(sum(weight), 6) AS w
   FROM inc GROUP BY dir, pred, neighbor
 )
-SELECT g.dir, g.pred, g.neighbor, g.n, g.w, v.canonical_name, v.kind
+SELECT g.dir, g.pred, g.neighbor, g.n, g.w, v.canonical_name, v.kind,
+       v.kind || ' > ' || {blk} || ' > ' || {key} AS parent_chain,
+       COALESCE((
+         SELECT substr(t.text, 1, {preview_len})
+         FROM e JOIN ({TRANSCRIPTS_REL}) t
+           ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+         WHERE e.obj = '{entity_id}' AND e.conv_id <> '*'
+         ORDER BY e.conv_id, e.turn_idx LIMIT 1
+       ), '') AS preview
 FROM g CROSS JOIN (SELECT canonical_name, kind FROM v WHERE entity_id = '{entity_id}') v
 ORDER BY g.dir, g.pred, g.neighbor
 """.strip()

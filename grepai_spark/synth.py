@@ -145,7 +145,9 @@ def alias_dict_values_sql() -> str:
     return f"(VALUES {rows}) AS d(alias, canonical_id, kind)"
 
 
-def replicate_transcripts(t: DataFrame, k: int) -> DataFrame:
+def replicate_transcripts(
+    t: DataFrame, k: int, n_parts: int | None = None
+) -> DataFrame:
     """Deterministically scale the corpus k-fold for throughput runs: each
     replica keeps per-conversation structure but gets a distinct conv_id
     namespace (#r0..#r{k-1}). Duplicate texts across replicas are intentional
@@ -168,5 +170,6 @@ def replicate_transcripts(t: DataFrame, k: int) -> DataFrame:
     # coalescing. Hash on conv_id co-locates conversations for later joins.
     # 4x cores: small enough tasks that the scheduler can smooth the tail
     # (mega-thread replicas make conv_id-hashed partitions uneven).
-    n_parts = t.sparkSession.sparkContext.defaultParallelism * 4
+    if n_parts is None:
+        n_parts = t.sparkSession.sparkContext.defaultParallelism * 4
     return out.repartition(n_parts, "conv_id")

@@ -70,3 +70,40 @@ def test_oracle_golden_triples_tiny():
     assert ("user", "mentions", "e_fetch_data", "conv-b", 0) in trip
     assert ("assistant", "calls", "payments.charge", "conv-a", 1) in trip
     assert not any(t.obj == "e_query_parser_fast" for t in triples)
+
+
+def test_fence_masked_mentions(spark):
+    """P5/P6 analog (ref trace/extractor.go:540-702): mentions inside ```
+    code fences are not matches; outside they are; pos stays the first
+    literal occurrence in the ORIGINAL text (oracle strpos semantics)."""
+    import datetime
+
+    from grepai_spark.extract import detect_mentions, mask_fences
+    from grepai_spark.schemas import TRANSCRIPTS
+    from grepai_spark.synth import alias_dict_df
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        # only inside a fence -> masked out
+        ("f1", 0, "user", "see ```FetchData()``` for details", "", ts),
+        # outside a fence -> matched
+        ("f2", 0, "user", "```x``` run FetchData now", "", ts),
+        # inside AND outside -> matched; pos = first LITERAL occurrence
+        ("f3", 0, "user", "```FetchData``` then FetchData", "", ts),
+        # seam must not join words across the mask
+        ("f4", 0, "user", "Fetch```x```Data is not FetchData", "", ts),
+        # unterminated fence: not masked (balanced fences only)
+        ("f5", 0, "user", "```unterminated FetchData", "", ts),
+    ]
+    t = spark.createDataFrame(rows, schema=TRANSCRIPTS)
+    got = {
+        r["conv_id"]: (r["mention"], r["pos"])
+        for r in detect_mentions(t, alias_dict_df(spark)).collect()
+        if r["mention"] == "FetchData"
+    }
+    assert "f1" not in got
+    assert got["f2"] == ("FetchData", 13)
+    assert got["f3"] == ("FetchData", 4)       # literal pos inside the fence
+    assert got["f4"] == ("FetchData", 25)
+    assert got["f5"] == ("FetchData", 17)
+    assert mask_fences("a```b```c") == "a c"

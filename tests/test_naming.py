@@ -55,3 +55,74 @@ def test_jaccard():
     assert py_jaccard(["query", "parser"], ["fast", "parser", "query"]) == pytest.approx(2 / 3)
     assert py_jaccard([], []) == 0.0
     assert py_jaccard(["a"], ["a"]) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# F2 verb-object synthesis — lockstep + reference-behavior fixtures
+# (ref rules: /root/reference/rpg/extractor_local.go:93-134; lexicon :39-79;
+#  4-word cap :169-176)
+# ---------------------------------------------------------------------------
+
+# behavior fixtures mirroring the reference's rules. NOTE: the reference's
+# doc comment claims "TokenValidator" -> "validate-token", but its CODE
+# checks isVerb on the exact word ("validator" is not in knownVerbs), so the
+# actual behavior — which we match — is the operate- fallback.
+VERB_OBJECT_CASES = {
+    "HandleRequest": "handle-request",        # verb-first
+    "parseConfig": "parse-config",
+    "fetch_data": "fetch-data",               # snake_case verb-first
+    "DataFetchQuick": "fetch-data-quick",     # mid-name verb reorder
+    "hash_join": "join-hash",                 # mid-name verb reorder
+    "Server": "operate-server",               # single noun -> operate-<noun>
+    "TokenValidator": "operate-token-validator",  # no exact verb match
+    "HTTPServer": "operate-http-server",      # acronym split, no verb
+    "parseConfigFileFastNow": "parse-config-file-fast",  # 4-word cap
+    "RunRunRun": "run-run-run",
+    "": "unknown",
+    "---": "unknown",
+}
+
+
+def test_verb_object_reference_behavior():
+    from grepai_spark.naming import py_verb_object
+
+    for name, want in VERB_OBJECT_CASES.items():
+        assert py_verb_object(name) == want, name
+
+
+def test_verb_object_python_vs_duckdb():
+    from grepai_spark.naming import py_verb_object, verb_object_sql
+
+    con = duckdb.connect()
+    for name in list(VERB_OBJECT_CASES) + NAMES:
+        got = con.execute(
+            f"SELECT {verb_object_sql('n', 'duckdb')} "
+            f"FROM (SELECT '{name}' AS n) t"
+        ).fetchone()[0]
+        assert got == py_verb_object(name), name
+
+
+def test_verb_object_python_vs_spark(spark):
+    from pyspark.sql import functions as F
+
+    from grepai_spark.naming import (
+        py_verb_object,
+        verb_object_col_staged,
+        verb_object_sql,
+    )
+
+    names = list(VERB_OBJECT_CASES) + NAMES
+    df = spark.createDataFrame([(n,) for n in names], ["n"])
+    one_expr = {
+        r["n"]: r["f"]
+        for r in df.select(
+            "n", F.expr(verb_object_sql("n")).alias("f")
+        ).collect()
+    }
+    staged = {
+        r["n"]: r["feature"] for r in verb_object_col_staged(df, "n").collect()
+    }
+    for n in names:
+        want = py_verb_object(n)
+        assert one_expr[n] == want, n
+        assert staged[n] == want, n

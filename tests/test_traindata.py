@@ -296,3 +296,12 @@ def test_near_dup_cell_cap_bounds_hot_cell(spark):
     # only the first 10 ids participate -> C(10,2) pairs, none beyond id 9
     assert len(pairs) == 45
     assert max(b for _, b in pairs) == 9
+
+
+def test_ivf_precomputed_centroids_match(spark, emb):
+    """ivf_topk with a stored centroid table (the at-scale path) must return
+    exactly what the inline recomputation returns."""
+    cent = ann.ivf_centroids(emb)
+    a = [tuple(r) for r in ann.ivf_topk(emb, QV, 20).collect()]
+    b = [tuple(r) for r in ann.ivf_topk(emb, QV, 20, centroids=cent).collect()]
+    assert a == b

@@ -30,8 +30,13 @@ def main() -> None:
         replicate_transcripts,
     )
 
+    # 8 shuffle partitions per core (not the session default 2x): the
+    # dedup reduce otherwise runs as ~2 waves whose straggler tail idles
+    # cores at the high level; AQE coalesces what's genuinely small.
     spark = get_spark(
-        app_name=f"grepai-scaling-{cpus}", master=f"local[{cpus}]"
+        app_name=f"grepai-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 8,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -52,9 +57,17 @@ def main() -> None:
     store = f"/tmp/grepai_scale_input_{sf_tag}_{replicate}.parquet"
 
     if not _os.path.isdir(store):
+        # fixed fine-grained layout (128 files), independent of which
+        # parallelism level builds the store: the SCAN is what must split
+        # well at both levels
         replicate_transcripts(
-            load_transcripts(spark, sf_dir), replicate
+            load_transcripts(spark, sf_dir), replicate, n_parts=128
         ).write.mode("overwrite").parquet(store)
+    # scan granularity: several task waves per core, so stragglers (mega
+    # threads make UDF cost uneven) amortize instead of idling whole cores.
+    # Default bin-packing targets minPartitionNum = defaultParallelism,
+    # i.e. ONE task per core — the slowest task then sets the stage wall.
+    spark.conf.set("spark.sql.files.minPartitionNum", str(cpus * 8))
     t = spark.read.parquet(store)
     n_turns = t.count()
     d = alias_dict_df(spark)
@@ -68,8 +81,14 @@ def main() -> None:
     ).save()
     time.sleep(3)
     t0 = time.perf_counter()
-    kg_edges_df(spark, t, d).write.format("noop").mode("overwrite").save()
-    wall = time.perf_counter() - t0
+    # phase split: plan construction includes the dictionary-scale eager jobs
+    # (alias-sim + CC collect) — the serial fraction candidate; the action is
+    # the corpus-scale extract/link/materialize work that should scale.
+    plan = kg_edges_df(spark, t, d)
+    t1 = time.perf_counter()
+    plan.write.format("noop").mode("overwrite").save()
+    t2 = time.perf_counter()
+    wall = t2 - t0
     print(
         json.dumps(
             {
@@ -77,6 +96,8 @@ def main() -> None:
                 "n_turns": n_turns,
                 "replicate": replicate,
                 "wall_sec": round(wall, 3),
+                "plan_sec": round(t1 - t0, 3),
+                "action_sec": round(t2 - t1, 3),
                 "turns_per_sec": round(n_turns / wall, 1),
             }
         )

@@ -73,7 +73,7 @@ def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     zip_path = "/tmp/grepai_spark_pyfiles.zip"
     build_zip(zip_path)
     # N=2 vs 4N=8: this sandbox's host throttles sustained >8-core bursts
@@ -88,12 +88,16 @@ def main() -> None:
 
     runs: dict[int, dict] = {}
     # hi first on fresh CPU credits (the 2-core level never trips the host
-    # throttle; the 8-core level does when run after other bursts)
+    # throttle; the 8-core level does when run after other bursts). The
+    # credit pool refills over minutes, so each 8-core burst gets a LONG
+    # cooldown before it; the 2-core runs need none.
     for cpus in (hi, lo, hi, lo):
+        if cpus == hi:
+            _time.sleep(int(os.environ.get("SPARK_GRAFT_HI_COOLDOWN", "180")))
         r = submit(cpus, sf_dir, replicate, zip_path)
         if cpus not in runs or r["wall_sec"] < runs[cpus]["wall_sec"]:
             runs[cpus] = r
-        _time.sleep(75)
+        _time.sleep(30)
     r_lo, r_hi = runs[lo], runs[hi]
     tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
