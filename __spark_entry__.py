@@ -262,6 +262,10 @@ def _q_enrich_area_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.enrich_area_labels(load_transcripts(spark, sf_dir))
 
 
+def _q_area_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggs.area_summaries(load_transcripts(spark, sf_dir))
+
+
 def _q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.chunk_turns(load_transcripts(spark, sf_dir))
 
@@ -321,6 +325,10 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.near_dup_cosine_pairs(_emb(spark, sf_dir))
+
+
+def _q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.near_dup_lsh_pairs(_emb(spark, sf_dir))
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_paths": _q_feature_paths,
         "pruned_vertices": _q_pruned_vertices,
         "enrich_area_labels": _q_enrich_area_labels,
+        "area_summaries": _q_area_summaries,
         "chunk_turns": _q_chunk_turns,
         "conv_tool_profile": _q_conv_tool_profile,
         "drift_placements": _q_drift_placements,
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "near_dup_cosine": _q_near_dup_cosine,
+        "near_dup_lsh": _q_near_dup_lsh,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
@@ -475,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_paths": oracles.feature_paths_oracle(),
         "pruned_vertices": oracles.pruned_vertices_oracle(),
         "enrich_area_labels": oracles.enrich_area_labels_oracle(),
+        "area_summaries": oracles.area_summaries_oracle(),
         "chunk_turns": oracles.chunk_turns_oracle(),
         "conv_tool_profile": skew.conv_tool_profile_oracle(
             oracles.TRANSCRIPTS_REL
@@ -487,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann.ann_lsh_topk_oracle(_QUERY_VEC64, 20),
         "ivf_topk": ann.ivf_topk_oracle(_QUERY_VEC64, 20),
         "near_dup_cosine": ann.near_dup_cosine_pairs_oracle(),
+        "near_dup_lsh": ann.near_dup_lsh_pairs_oracle(),
         "lang_id": textstats.lang_id_oracle(),
         "text_quality": textstats.text_quality_oracle(),
         "token_counts": textstats.token_counts_oracle(),

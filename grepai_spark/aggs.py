@@ -123,6 +123,27 @@ def enrich_area_labels(transcripts: DataFrame, top_n: int = 3) -> DataFrame:
     )
 
 
+def area_summaries(transcripts: DataFrame, top_n: int = 3) -> DataFrame:
+    """H5 local-mode summaries (ref GenerateSummary,
+    rpg/extractor_local.go:137-166): the deterministic template
+    'Provides <name> responsibilities for <top features>.' per tool area,
+    built from the same top-N rollup as enrich_area_labels."""
+    top = enrich_area_labels(transcripts, top_n)
+    feats = F.regexp_replace(
+        F.col("label"), r"^[^:]*: ", ""
+    )  # strip the 'area: ' prefix to get the joined feature list
+    return top.select(
+        "area",
+        F.concat(
+            F.lit("Provides "),
+            F.col("area"),
+            F.lit(" responsibilities for "),
+            feats,
+            F.lit("."),
+        ).alias("summary"),
+    )
+
+
 def cluster_mentions(mentions: DataFrame) -> DataFrame:
     """H2 ClusterSymbols analog: group mention surfaces by cluster key =
     first normalized token; subcategory label = normalized key."""

@@ -263,6 +263,85 @@ def near_dup_cosine_pairs(
     )
 
 
+NEAR_DUP_LSH_PLANES = 4  # fewer planes than top-k search: recall over pruning
+
+
+def near_dup_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_COS,
+    n_planes: int = NEAR_DUP_LSH_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_cap: int = NEAR_DUP_CELL_CAP,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a precomputed coarse-cell column:
+    bucket = sign-LSH signature of the vector itself.
+
+    Two vectors at angle theta land in the same bucket with probability
+    (1 - theta/pi)^n_planes — fewer planes = higher recall, bigger buckets
+    (4 planes: cos 0.4 -> ~33% per-bucket recall; production runs several
+    plane sets and unions, like MinHash bands). Same deterministic
+    bucket-cap guard as every other pair generator; exact cosine verifies.
+    """
+    b = emb.select(
+        F.col(id_col).alias("the_id"),
+        F.col(vec_col).alias("v"),
+        F.expr(bucket_sql(vec_col, n_planes)).alias("bkt"),
+    )
+    w = Window.partitionBy("bkt").orderBy("the_id")
+    b = (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    a = b.select(
+        F.col("bkt"), F.col("the_id").alias("a_id"), F.col("v").alias("va")
+    )
+    c = b.select(
+        F.col("bkt"), F.col("the_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(CAST(va AS array<double>), CAST(vb AS array<double>),"
+        " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    cos = dot / (F.sqrt(F.expr(dot_sql_self("va"))) * F.sqrt(F.expr(dot_sql_self("vb"))))
+    return (
+        a.join(c, "bkt")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("_cos", cos)
+        .where(F.col("_cos") >= F.lit(threshold))
+        .select("a_id", "b_id", F.col("bkt"), F.round("_cos", 6).alias("cos"))
+    )
+
+
+def near_dup_lsh_pairs_oracle(
+    threshold: float = NEAR_DUP_COS,
+    n_planes: int = NEAR_DUP_LSH_PLANES,
+    bucket_cap: int = NEAR_DUP_CELL_CAP,
+) -> str:
+    bucket = bucket_sql("embedding", n_planes, dialect="duckdb")
+    dotp = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    nb = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+    cos = f"({dotp}) / ({na} * {nb})"
+    return f"""
+WITH bkts AS (
+  SELECT vec_id, embedding, ({bucket}) AS bkt FROM embeddings
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn
+    FROM bkts
+  ) x WHERE rn <= {bucket_cap}
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bkt,
+       round({cos}, 6) AS cos
+FROM capped a
+JOIN capped b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------

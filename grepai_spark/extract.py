@@ -180,6 +180,61 @@ def detect_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
     )
 
 
+_EDGE_ELEM = StructType(
+    [StructField("pred", StringType()), StructField("obj", StringType())]
+)
+
+
+def make_edge_detector(alias_map: dict[str, tuple[str, str]]):
+    """Arrow-batched detector emitting CANONICAL edge fragments directly:
+    text -> sorted distinct [(pred, entity_id)] per turn.
+
+    `alias_map`: alias -> (pred, entity_id), the dictionary-scale product of
+    linking + canonicalization, closed over by the UDF (broadcast-by-closure,
+    like the reference's in-memory symbol maps, rpg/indexer.go:527). Fusing
+    the per-turn dedup here makes the ENTIRE kg_edges derivation a single
+    narrow map — no shuffle, no second pass; the per-turn distinct replaces
+    the downstream dropDuplicates whose shuffle was the pipeline's only
+    exchange. Same memmem-gated boundary matching as the mention detector.
+    """
+    ordered = sorted(alias_map)
+    word_chars = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    )
+    patterns = {a: re.compile(r"\b" + re.escape(a) + r"\b") for a in ordered}
+    lens = {a: len(a) for a in ordered}
+
+    @F.pandas_udf(ArrayType(_EDGE_ELEM))
+    def detect_edges(texts: pd.Series) -> pd.Series:
+        out = []
+        empty: list[dict] = []
+        for text in texts.fillna(""):
+            if not text:
+                out.append(empty)
+                continue
+            masked = mask_fences(text)
+            n = len(masked)
+            found: set[tuple[str, str]] = set()
+            for a in ordered:
+                p = masked.find(a)
+                if p == -1:
+                    continue
+                end = p + lens[a]
+                if (
+                    (p == 0 or masked[p - 1] not in word_chars)
+                    and (end >= n or masked[end] not in word_chars)
+                ) or patterns[a].search(masked):
+                    found.add(alias_map[a])
+            out.append(
+                [{"pred": p, "obj": o} for p, o in sorted(found)]
+                if found
+                else empty
+            )
+        return pd.Series(out)
+
+    return detect_edges
+
+
 CHUNK_CHARS = 2048  # 512 tokens x 4 chars/token (ref: indexer/chunker.go:11-15)
 CHUNK_OVERLAP = 200  # 50 tokens x 4
 

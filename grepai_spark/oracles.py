@@ -554,6 +554,15 @@ GROUP BY area
 """.strip()
 
 
+def area_summaries_oracle(top_n: int = 3) -> str:
+    return f"""
+SELECT area,
+       'Provides ' || area || ' responsibilities for ' ||
+       regexp_replace(label, '^[^:]*: ', '') || '.' AS summary
+FROM ({enrich_area_labels_oracle(top_n)}) e
+""".strip()
+
+
 def chunk_turns_oracle() -> str:
     from grepai_spark.extract import chunk_turns_oracle_sql
 

@@ -33,18 +33,57 @@ def kg_edges_df(
     use_lsh: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame end-to-end edge derivation (no table writes) — the
-    flagship query: EXTRACT -> LINK -> CANON -> triples."""
-    calls = extract.call_triples(transcripts)
-    mentions = extract.detect_mentions(transcripts, alias_dict)
-    linked = link.link_mentions_exact(mentions, alias_dict)
+    flagship query: EXTRACT -> LINK -> CANON -> triples, FUSED.
+
+    The linking + canonicalization product is dictionary-scale, so it
+    collapses to an alias -> (pred, entity_id) map computed once on the
+    driver (two tiny jobs) and closed over by the edge-detector UDF. The
+    corpus-scale plan is then ONE narrow map over transcripts: call edges
+    come from an inline array filter on the `tool` column, mention/does
+    edges from the UDF (per-turn distinct inside the batch), one explode —
+    no shuffle anywhere and a single scan. The only exchange the previous
+    shape had (dropDuplicates over all mention triples) was a within-turn
+    dedup in disguise; fusing it into the UDF removes it entirely. The
+    bucketed, lineage-checkpointed variant of the same stages lives in
+    :func:`run` (the resumable path).
+    """
     sim = (
         link.alias_similarity_edges_lsh(alias_dict)
         if use_lsh
         else link.alias_similarity_edges(alias_dict)
     )
     cmap = cc.canonical_map(alias_dict, sim)
-    ment = materialize.mention_triples(linked, cmap)
-    return materialize.build_edges(calls, ment)
+    rows = (
+        alias_dict.where(F.col("kind").isin("entity", "action"))
+        .join(cmap, "canonical_id")
+        .select("alias", "kind", "entity_id")
+        .collect()
+    )
+    amap = {
+        r["alias"]: (
+            "does" if r["kind"] == "action" else "mentions",
+            r["entity_id"],
+        )
+        for r in rows
+    }
+    detect_edges = extract.make_edge_detector(amap)
+    # call edge as a 0/1-element array: filter() keeps the struct type
+    # without CASE branches whose empty array() would type-clash
+    call_arr = F.expr(
+        "filter(array(named_struct('pred', 'calls', 'obj', tool)),"
+        " x -> x.obj IS NOT NULL AND x.obj <> '')"
+    )
+    combined = F.concat(call_arr, detect_edges(F.col("text")))
+    return transcripts.select(
+        "conv_id", "turn_idx", "role", F.explode(combined).alias("e")
+    ).select(
+        F.col("role").alias("subj"),
+        F.col("e.pred").alias("pred"),
+        F.col("e.obj").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        F.lit(1.0).cast("float").alias("weight"),
+    )
 
 
 def kg_vertices_df(

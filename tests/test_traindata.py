@@ -305,3 +305,27 @@ def test_ivf_precomputed_centroids_match(spark, emb):
     a = [tuple(r) for r in ann.ivf_topk(emb, QV, 20).collect()]
     b = [tuple(r) for r in ann.ivf_topk(emb, QV, 20, centroids=cent).collect()]
     assert a == b
+
+
+def test_near_dup_lsh_is_verified_subset(spark, emb):
+    """LSH-bucketed near-dups: every returned pair truly has cos >= t
+    (exact verify), and the pair set is a subset of the unblocked truth."""
+    got = {(r["a_id"], r["b_id"]): r["cos"]
+           for r in ann.near_dup_lsh_pairs(emb).collect()}
+    # brute-force truth (small fixture): all pairs with cos >= threshold
+    import itertools
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+    truth = {
+        tuple(sorted(p)): cos(vecs[p[0]], vecs[p[1]])
+        for p in itertools.combinations(vecs, 2)
+        if cos(vecs[p[0]], vecs[p[1]]) >= ann.NEAR_DUP_COS
+    }
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert abs(v - truth[k]) < 1e-4
