@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from grepai_spark import (
     aggs,
     ann,
+    corpus,
     dedup,
     extract,
     graphq,
@@ -331,6 +332,10 @@ def _q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.near_dup_lsh_pairs(_emb(spark, sf_dir))
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.corpus_clean(_docs(spark, sf_dir))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -424,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "near_dup_cosine": _q_near_dup_cosine,
         "near_dup_lsh": _q_near_dup_lsh,
+        "corpus_clean": _q_corpus_clean,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
@@ -499,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": ann.ivf_topk_oracle(_QUERY_VEC64, 20),
         "near_dup_cosine": ann.near_dup_cosine_pairs_oracle(),
         "near_dup_lsh": ann.near_dup_lsh_pairs_oracle(),
+        "corpus_clean": corpus.corpus_clean_oracle(),
         "lang_id": textstats.lang_id_oracle(),
         "text_quality": textstats.text_quality_oracle(),
         "token_counts": textstats.token_counts_oracle(),

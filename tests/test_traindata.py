@@ -329,3 +329,26 @@ def test_near_dup_lsh_is_verified_subset(spark, emb):
     assert set(got) <= set(truth)
     for k, v in got.items():
         assert abs(v - truth[k]) < 1e-4
+
+
+def test_corpus_clean_statuses(spark, docs):
+    from grepai_spark.corpus import corpus_clean
+
+    rows = corpus_clean(docs).collect()
+    assert len(rows) == docs.count()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    assert set(by_status) <= {"kept", "low_quality", "exact_dup", "near_dup"}
+    assert by_status.get("kept"), "nothing survived cleaning"
+    # exact-dup ground truth: every doc whose text appeared earlier
+    # (numeric-min keeper) and whose quality passes the gate
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    first_by_text = {}
+    for did in sorted(texts):
+        first_by_text.setdefault(texts[did], did)
+    passq = by_status.get("kept", set()) | by_status.get("exact_dup", set()) | by_status.get("near_dup", set())
+    want_exact = {
+        did for did in passq if first_by_text[texts[did]] != did
+    }
+    assert by_status.get("exact_dup", set()) == want_exact
