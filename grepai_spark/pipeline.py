@@ -47,6 +47,18 @@ def kg_edges_df(
     bucketed, lineage-checkpointed variant of the same stages lives in
     :func:`run` (the resumable path).
     """
+    return kg_edges_from_map(
+        transcripts, alias_entity_map(alias_dict, use_lsh)
+    )
+
+
+def alias_entity_map(
+    alias_dict: DataFrame, use_lsh: bool = False
+) -> dict[str, tuple[str, str]]:
+    """alias -> (pred, entity_id): the dictionary-scale product of linking +
+    canonicalization, computed ONCE per run/dictionary version (two tiny
+    jobs) and shipped to executors by closure — the reference's in-memory
+    symbol maps (rpg/indexer.go:527)."""
     sim = (
         link.alias_similarity_edges_lsh(alias_dict)
         if use_lsh
@@ -59,13 +71,21 @@ def kg_edges_df(
         .select("alias", "kind", "entity_id")
         .collect()
     )
-    amap = {
+    return {
         r["alias"]: (
             "does" if r["kind"] == "action" else "mentions",
             r["entity_id"],
         )
         for r in rows
     }
+
+
+def kg_edges_from_map(
+    transcripts: DataFrame, amap: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """The corpus-scale half of the fused plan — usable on batch AND
+    streaming DataFrames (it is a pure narrow map, so it is trivially
+    streamable)."""
     detect_edges = extract.make_edge_detector(amap)
     # call edge as a 0/1-element array: filter() keeps the struct type
     # without CASE branches whose empty array() would type-clash

@@ -66,3 +66,114 @@ def incremental_call_edges(
         .start()
     )
     q.awaitTermination()
+
+
+KG_EDGES_TABLE = "kg_edges_stream"
+
+
+def incremental_kg_edges(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    alias_dict: DataFrame,
+) -> None:
+    """Full fused KG derivation (calls + canonicalized mention/does edges)
+    as a streaming job: the alias -> (pred, entity_id) map is computed ONCE
+    (the dictionary does not change per micro-batch), then every batch runs
+    the same zero-shuffle narrow map as the batch flagship and MERGEs by
+    edge key — idempotent under re-delivery, exactly like the batch
+    pipeline's lineage-gated resume (W2 analog, ref cli/watch.go:2007-2133).
+    """
+    from grepai_spark import pipeline
+
+    catalog = Catalog(spark, out_dir)
+    amap = pipeline.alias_entity_map(alias_dict)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        edges = pipeline.kg_edges_from_map(batch, amap)
+        catalog.merge_by_key(
+            KG_EDGES_TABLE,
+            edges,
+            ["conv_id", "turn_idx", "pred", "obj"],
+        )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+CONV_STATS_TABLE = "conv_stats_stream"
+
+
+def conversation_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): running
+    per-conversation counters (turns seen, tool calls, max turn_idx) that
+    survive across micro-batches AND restarts via the state store — the
+    incremental-stats analog of the reference's per-command stats recorder
+    (S8, /root/reference/stats/recorder.go) combined with its dirty-set
+    tracking (cli/watch.go:476-688). State is keyed by conv_id, so a
+    mega-thread's state is one small tuple regardless of its turn count.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    catalog = Catalog(spark, out_dir)
+
+    def update(key, pdfs, state: GroupState):
+        turns, tools, last = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            turns += len(pdf)
+            tools += int((pdf["tool"].fillna("") != "").sum())
+            if len(pdf):
+                last = max(last, int(pdf["turn_idx"].max()))
+        state.update((turns, tools, last))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turn_count": [turns],
+                "tool_calls": [tools],
+                "last_turn_idx": [last],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(source_dir)
+    )
+    updates = stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        "conv_id string, turn_count long, tool_calls long, last_turn_idx long",
+        "turn_count long, tool_calls long, last_turn_idx long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        catalog.merge_by_key(CONV_STATS_TABLE, batch, ["conv_id"])
+
+    q = (
+        updates.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

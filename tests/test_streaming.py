@@ -76,3 +76,78 @@ def test_streaming_merge_is_idempotent_on_redelivery(
         (r["conv_id"], r["turn_idx"], r["obj"])
         for r in extract.call_triples(tiny_transcripts).collect()
     }
+
+
+def test_streaming_kg_edges_match_batch(spark, tiny_transcripts, tmp_path):
+    """The fused streaming derivation must converge to EXACTLY the batch
+    flagship's edge set, across micro-batch splits and re-delivery."""
+    from grepai_spark import pipeline
+    from grepai_spark.synth import alias_dict_df
+
+    src = str(tmp_path / "ksrc")
+    out = str(tmp_path / "kout")
+    ck = str(tmp_path / "kck")
+    os.makedirs(src, exist_ok=True)
+    d = alias_dict_df(spark)
+
+    first = tiny_transcripts.where("conv_id in ('conv-a', 'conv-b')")
+    second = tiny_transcripts.where("conv_id in ('conv-c', 'conv-d')")
+    _write_slice(first, f"{src}/slice1")
+    streaming.incremental_kg_edges(spark, f"{src}/slice*", out, ck, d)
+    _write_slice(second, f"{src}/slice2")
+    # re-deliver slice1's conversations too (idempotent MERGE must dedup)
+    _write_slice(first, f"{src}/slice3")
+    streaming.incremental_kg_edges(spark, f"{src}/slice*", out, ck, d)
+
+    cat = Catalog(spark, out)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in cat.read(streaming.KG_EDGES_TABLE).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in pipeline.kg_edges_df(spark, tiny_transcripts, d).collect()
+    }
+    assert got == want
+
+
+def test_stateful_conversation_stats(spark, tiny_transcripts, tmp_path):
+    """applyInPandasWithState counters persist across micro-batches and
+    across RESTARTS (state store in the checkpoint), converging to the
+    batch groupBy totals."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ck = str(tmp_path / "sck")
+    os.makedirs(src, exist_ok=True)
+
+    first = tiny_transcripts.where("conv_id in ('conv-a', 'conv-b')")
+    second = tiny_transcripts.where("conv_id in ('conv-a', 'conv-c', 'conv-d')")
+    _write_slice(first, f"{src}/slice1")
+    streaming.conversation_stats_stream(spark, f"{src}/slice*", out, ck)
+    # restart with a second file: conv-a arrives AGAIN, so its state must
+    # resume from the checkpoint and count the newly delivered rows on top
+    # (per-delivery counting, like the reference re-indexing a re-saved
+    # file); conv-c/conv-d start fresh
+    _write_slice(second, f"{src}/slice2")
+    streaming.conversation_stats_stream(spark, f"{src}/slice*", out, ck)
+
+    cat = Catalog(spark, out)
+    got = {
+        r["conv_id"]: (r["turn_count"], r["tool_calls"], r["last_turn_idx"])
+        for r in cat.read(streaming.CONV_STATS_TABLE).collect()
+    }
+    want_df = (
+        first.unionByName(second)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("tool") != "", 1).otherwise(0)).alias("t"),
+            F.max("turn_idx").alias("m"),
+        )
+    )
+    want = {
+        r["conv_id"]: (r["n"], r["t"], r["m"]) for r in want_df.collect()
+    }
+    assert got == want
