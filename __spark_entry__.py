@@ -156,6 +156,17 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphq.bfs(_kg_edges(spark, sf_dir), BFS_SEED, depth=2)
 
 
+def _q_explore_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G4 Explore (ref rpg/query.go:276-392): direction + edge-type filters
+    return graphq.bfs(
+        _kg_edges(spark, sf_dir),
+        "agent:buyer",
+        depth=2,
+        direction="fwd",
+        preds=["calls"],
+    )
+
+
 def _q_search_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphq.search_nodes(
         pipeline.kg_vertices_df(spark, alias_dict_df(spark)), NODE_QUERY
@@ -403,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callers": _q_callers,
         "callees": _q_callees,
         "bfs_depth2": _q_bfs,
+        "explore_fwd": _q_explore_fwd,
         "search_nodes": _q_search_nodes,
         "search_nodes_scoped": _q_search_nodes_scoped,
         "feature_freq": _q_feature_freq,
@@ -468,6 +480,9 @@ def oracle_sql() -> dict[str, str]:
         "callers": oracles.callers_oracle(BFS_SEED),
         "callees": oracles.callees_oracle("agent:buyer"),
         "bfs_depth2": oracles.bfs_oracle(BFS_SEED),
+        "explore_fwd": oracles.bfs_oracle(
+            "agent:buyer", direction="fwd", preds=["calls"]
+        ),
         "search_nodes": oracles.search_nodes_oracle(
             search.tokenize_query(NODE_QUERY)
         ),

@@ -70,6 +70,10 @@ def main() -> None:
         "conv_tool_profile",
         "text_quality",
         "doc_fingerprint",
+        "verb_object_features",
+        "near_dup_lsh",
+        "drift_placements",
+        "corpus_clean",
     ]
     headline = [q for q in headline if q in qs]
 

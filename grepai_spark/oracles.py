@@ -153,14 +153,31 @@ GROUP BY obj ORDER BY callee
 """.strip()
 
 
-def bfs_oracle(seed: str, hub_cap: int = 1000) -> str:
-    """Depth-2 undirected BFS with the hub-degree expansion guard."""
+def bfs_oracle(
+    seed: str,
+    hub_cap: int = 1000,
+    direction: str = "both",
+    preds: list[str] | None = None,
+) -> str:
+    """Depth-2 BFS with the hub-degree expansion guard; direction and
+    edge-type filters mirror graphq.bfs (G4 Explore, ref rpg/query.go:276-392)."""
+    where = ""
+    if preds:
+        plist = ", ".join(f"'{p}'" for p in preds)
+        where = f" WHERE pred IN ({plist})"
+    fwd = "SELECT subj AS a, obj AS b FROM eg"
+    rev = "SELECT obj AS a, subj AS b FROM eg"
+    if direction == "fwd":
+        dirs = fwd
+    elif direction == "rev":
+        dirs = rev
+    else:
+        dirs = f"{fwd}\n    UNION {rev}"
     return f"""
-WITH eg AS (SELECT subj, obj FROM {_edges_sub()} e),
+WITH eg AS (SELECT subj, obj FROM {_edges_sub()} e{where}),
 adj AS (
   SELECT DISTINCT a, b FROM (
-    SELECT subj AS a, obj AS b FROM eg
-    UNION SELECT obj AS a, subj AS b FROM eg
+    {dirs}
   ) x WHERE a <> b
 ),
 deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a),
