@@ -170,3 +170,19 @@ def test_merge_rewrites_only_dirty_buckets(spark, tmp_path):
         (2, i + 100) for i in range(5)
     }
     assert got == want
+
+
+def test_fused_kg_edges_plan_has_no_exchange(spark, tmp_path):
+    """Regression guard for the headline plan property: on a stored table
+    the fused kg_edges derivation is ONE narrow map — no Exchange node may
+    appear (a reintroduced shuffle is the single biggest scale regression
+    this pipeline could take)."""
+    from grepai_spark.synth import alias_dict_df, load_transcripts
+
+    store = str(tmp_path / "store.parquet")
+    load_transcripts(spark, "/root/testdata/sf0.001").write.parquet(store)
+    t = spark.read.parquet(store)
+    df = pipeline.kg_edges_df(spark, t, alias_dict_df(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
