@@ -64,6 +64,7 @@ def drift_gated_placements(
     old_mentions: DataFrame,
     new_mentions: DataFrame,
     threshold: float = DRIFT_THRESHOLD,
+    materialize_inputs: bool = True,
 ) -> DataFrame:
     """Per-conversation placement after an incremental update
     (ref ensureFileHierarchyPlacement, rpg/evolver.go:179-231):
@@ -73,8 +74,19 @@ def drift_gated_placements(
     * drift <  threshold                   -> KEEP the old placement
 
     Output: (conv_id, cluster, drift, replaced boolean).
+
+    Each side feeds TWO aggregations (feature words + modal cluster); Spark
+    re-executes a shared subplan per consumer, so mention inputs that are
+    themselves UDF-derived would run the detector twice per side. The
+    default localCheckpoint materializes each side once (plan audit: 4
+    detector executions -> 2). In production the old side is a STORED
+    table, so this only matters when both sides are derived in one query.
     """
     from grepai_spark.aggs import modal_cluster_per_conv
+
+    if materialize_inputs:
+        old_mentions = old_mentions.localCheckpoint(eager=True)
+        new_mentions = new_mentions.localCheckpoint(eager=True)
 
     oc = modal_cluster_per_conv(old_mentions).select(
         "conv_id", F.col("cluster").alias("old_cluster")
