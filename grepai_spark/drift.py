@@ -2,9 +2,9 @@
 
 The reference re-places a file in the hierarchy ONLY when its feature set
 drifted enough: drift = 1 - Jaccard(old feature word set, new feature word
-set), re-place iff drift >= threshold (default 0.3)
+set), re-place iff drift >= threshold (default 0.35)
 (/root/reference/rpg/evolver.go:179-231; calculateDrift
-rpg/evolver.go:325-345; threshold config/config.go:299,440).
+rpg/evolver.go:325-345; DefaultRPGDriftThreshold config/config.go:48,440).
 
 Graft: a conversation's "hierarchy placement" is its modal feature cluster
 (aggs.modal_cluster_per_conv = the subcategory assignment). On an
@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from grepai_spark.naming import verb_object_col_staged
 
-DRIFT_THRESHOLD = 0.3  # ref: config/config.go:299,440
+DRIFT_THRESHOLD = 0.35  # ref: DefaultRPGDriftThreshold, config/config.go:48,440
 
 
 def conv_feature_words(mentions: DataFrame) -> DataFrame:

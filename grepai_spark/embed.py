@@ -127,6 +127,16 @@ def embed_with_cache(
       ->  MERGE into cache   ->  join turns back to the cache.
     Idempotent: vectors are deterministic functions of content_hash, so
     last-write-wins merges are safe under resume (SURVEY.md §7.4).
+
+    Cross-run determinism caveat (the reference's cache-by-content semantics,
+    indexer/indexer.go:161-164): with C2 context prefixing the cached vector
+    for a content_hash depends on which (conv_id, turn_idx) FIRST carried
+    that text in the run that missed the cache — the min-struct tie-break is
+    deterministic within one batch, but ingesting the same corpus in a
+    different batch order can persist a different (equally valid) vector for
+    identical text. Downstream ANN results should not be assumed bit-stable
+    across ingestion orders; include the prefix in the cache key if that
+    stability is required.
     """
     hashed = with_content_hash(turns)
     cache = catalog.read(cache_table, schema=EMBEDDING_CACHE)

@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 from grepai_spark.naming import jaccard_sql, norm_tokens_sql
 
 
+def _seg(expr_sql: str) -> "F.Column":
+    """NULL-safe feature-path segment: a degenerate name whose first_token /
+    norm_key comes out NULL (or '' on only one engine) must serialize the
+    same way in Spark and the DuckDB oracles — concat_ws silently SKIPS
+    NULLs while DuckDB's || propagates them, so every segment is coalesced
+    to '' on both sides before joining with '/'."""
+    return F.coalesce(F.expr(expr_sql), F.lit(""))
+
+
 def callers(edges: DataFrame, name: str, pred: str = "calls") -> DataFrame:
     """Who calls `name` (G1): distinct callers with invocation counts."""
     return (
@@ -165,9 +174,9 @@ def search_nodes(
         fp = F.lower(
             F.concat_ws(
                 "/",
-                F.col("kind"),
-                F.expr(first_token_sql("canonical_name")),
-                F.expr(norm_key_sql("canonical_name")),
+                F.coalesce(F.col("kind"), F.lit("")),
+                _seg(first_token_sql("canonical_name")),
+                _seg(norm_key_sql("canonical_name")),
             )
         )
         cond = None
@@ -204,9 +213,9 @@ def feature_paths(vertices: DataFrame) -> DataFrame:
         "entity_id",
         F.concat_ws(
             "/",
-            F.col("kind"),
-            F.expr(first_token_sql("canonical_name")),
-            F.expr(norm_key_sql("canonical_name")),
+            F.coalesce(F.col("kind"), F.lit("")),
+            _seg(first_token_sql("canonical_name")),
+            _seg(norm_key_sql("canonical_name")),
         ).alias("feature_path"),
     )
 
@@ -268,9 +277,9 @@ def fetch_node(
         "kind",
         F.concat_ws(
             " > ",
-            F.col("kind"),
-            F.expr(first_token_sql("canonical_name")),
-            F.expr(norm_key_sql("canonical_name")),
+            F.coalesce(F.col("kind"), F.lit("")),
+            _seg(first_token_sql("canonical_name")),
+            _seg(norm_key_sql("canonical_name")),
         ).alias("parent_chain"),
     )
     res = both.crossJoin(F.broadcast(vmeta))

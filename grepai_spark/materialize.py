@@ -70,19 +70,31 @@ def build_vertices(
     )
 
 
+CONV_COMENTION_CAP_MIN = 50  # reference's absolute hub guard floor
+CONV_COMENTION_CAP_FACTOR = 2.0  # hub = fan-out above 2x the median fan-out
+
+
 def conv_comention_edges(
     mention_triples: DataFrame,
-    hub_cap: int = 50,
+    hub_cap_min: int = CONV_COMENTION_CAP_MIN,
+    hub_cap_factor: float = CONV_COMENTION_CAP_FACTOR,
 ) -> DataFrame:
     """Conversation-level (conv_a)-[:mentions_with]->(conv_b) edges weighted
     by the number of canonical entities both conversations mention — the
     import-edge derivation analog (distinct cross-file pairs from invoke
     edges, /root/reference/rpg/indexer.go:600-644).
 
-    Entities mentioned in more than `hub_cap` conversations are skipped
-    before pair expansion (the reference's hub guard, rpg/indexer.go:23-27):
-    a ubiquitous entity links every conversation to every other and carries
-    no signal — and would go quadratic at corpus scale.
+    Hub entities are skipped before pair expansion (the reference's hub
+    guard, rpg/indexer.go:23-27): a ubiquitous entity links every
+    conversation to every other and carries no signal — and would go
+    quadratic at corpus scale. The reference's cap is an absolute constant
+    (bounded repo, bounded imports); a corpus-relative cap is needed here
+    because "ubiquitous" depends on the corpus — the cap is
+    max(hub_cap_min, hub_cap_factor x median entity fan-out), so a
+    power-law tail is cut on any corpus while a dense small corpus keeps
+    its edges. The median is over the entity fan-out table
+    (dictionary-scale — one tiny exact-percentile aggregate, broadcast
+    back as a scalar).
     """
     per_conv = (
         mention_triples.where(F.col("pred") == "mentions")
@@ -92,9 +104,19 @@ def conv_comention_edges(
     fanout = per_conv.groupBy("entity").agg(
         F.count("*").alias("n_convs")
     )
-    small = per_conv.join(
-        fanout.where(F.col("n_convs") <= hub_cap).select("entity"), "entity"
+    med = fanout.agg(F.expr("percentile(n_convs, 0.5)").alias("med"))
+    keep = (
+        fanout.crossJoin(F.broadcast(med))
+        .where(
+            F.col("n_convs")
+            <= F.greatest(
+                F.lit(float(hub_cap_min)),
+                F.lit(hub_cap_factor) * F.col("med"),
+            )
+        )
+        .select("entity")
     )
+    small = per_conv.join(keep, "entity")
     a = small.alias("a")
     b = small.alias("b")
     return (

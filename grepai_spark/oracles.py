@@ -153,6 +153,20 @@ GROUP BY obj ORDER BY callee
 """.strip()
 
 
+def graph_neighbors_oracle(
+    callee_of: str, caller_of: str, pred: str = "calls"
+) -> str:
+    """G1 + G2 as one relation: callers of `callee_of` tagged dir='caller',
+    callees of `caller_of` tagged dir='callee'."""
+    return f"""
+SELECT 'caller' AS dir, caller AS node, n_calls
+FROM ({callers_oracle(callee_of, pred)}) c1
+UNION ALL
+SELECT 'callee' AS dir, callee AS node, n_calls
+FROM ({callees_oracle(caller_of, pred)}) c2
+""".strip()
+
+
 def bfs_oracle(
     seed: str,
     hub_cap: int = 1000,
@@ -279,8 +293,14 @@ def search_nodes_oracle(
     if scopes:
         blk = first_token_sql("canonical_name", "duckdb")
         key = norm_key_sql("canonical_name", "duckdb")
+        # COALESCE each segment to '' — matches Spark's NULL-safe path
+        # builder (graphq._seg); bare || would NULL the whole path.
+        fp = (
+            f"COALESCE(kind, '') || '/' || COALESCE({blk}, '')"
+            f" || '/' || COALESCE({key}, '')"
+        )
         ors = " OR ".join(
-            f"starts_with(lower(kind || '/' || {blk} || '/' || {key}), '{s.strip().lower()}')"
+            f"starts_with(lower({fp}), '{s.strip().lower()}')"
             for s in scopes
             if s.strip()
         )
@@ -441,7 +461,12 @@ FROM m JOIN c ON m.conv_id = c.conv_id
 """.strip()
 
 
-def conv_comention_oracle(hub_cap: int = 50) -> str:
+def conv_comention_oracle(
+    hub_cap_min: int = 50, hub_cap_factor: float = 2.0
+) -> str:
+    """Corpus-relative hub cap: max(hub_cap_min, factor x median fan-out) —
+    quantile_cont is DuckDB's exact interpolating percentile, the same
+    definition as Spark's `percentile` aggregate."""
     return f"""
 WITH RECURSIVE {_canonical_map_ctes()},
 ment AS (
@@ -451,9 +476,12 @@ ment AS (
   JOIN comp ON nd.canonical_id = comp.canonical_id
 ),
 fanout AS (SELECT entity, count(*) AS n_convs FROM ment GROUP BY entity),
+med AS (SELECT quantile_cont(n_convs, 0.5) AS med FROM fanout),
 small AS (
-  SELECT m.* FROM ment m JOIN fanout f
-  ON m.entity = f.entity AND f.n_convs <= {hub_cap}
+  SELECT m.* FROM ment m JOIN fanout f ON m.entity = f.entity
+  CROSS JOIN med
+  WHERE f.n_convs <= greatest(CAST({hub_cap_min} AS DOUBLE),
+                              {hub_cap_factor} * med.med)
 )
 SELECT a.conv_id AS subj, 'mentions_with' AS pred, b.conv_id AS obj,
        CAST(count(*) AS FLOAT) AS weight
@@ -463,7 +491,7 @@ GROUP BY a.conv_id, b.conv_id
 """.strip()
 
 
-def drift_placements_oracle(threshold: float = 0.3) -> str:
+def drift_placements_oracle(threshold: float = 0.35) -> str:
     """W3 drift-gated re-placement (ref rpg/evolver.go:179-231,325-345):
     old = even-turn mentions, new = all mentions; placement moves only when
     1 - Jaccard(old feature words, new feature words) >= threshold."""
@@ -538,7 +566,8 @@ g AS (
   FROM inc GROUP BY dir, pred, neighbor
 )
 SELECT g.dir, g.pred, g.neighbor, g.n, g.w, v.canonical_name, v.kind,
-       v.kind || ' > ' || {blk} || ' > ' || {key} AS parent_chain,
+       COALESCE(v.kind, '') || ' > ' || COALESCE({blk}, '')
+         || ' > ' || COALESCE({key}, '') AS parent_chain,
        COALESCE((
          SELECT substr(t.text, 1, {preview_len})
          FROM e JOIN ({TRANSCRIPTS_REL}) t
@@ -599,7 +628,8 @@ v AS (
   GROUP BY comp.entity_id
 )
 SELECT entity_id,
-       kind || '/' || {blk} || '/' || {key} AS feature_path
+       COALESCE(kind, '') || '/' || COALESCE({blk}, '')
+         || '/' || COALESCE({key}, '') AS feature_path
 FROM v
 """.strip()
 

@@ -44,9 +44,12 @@ def test_conv_comention_hub_cap(spark, tiny_transcripts):
     edges = pipeline.kg_edges_df(
         spark, tiny_transcripts, alias_dict_df(spark)
     )
-    # hub_cap=1: every entity mentioned by >1 conversation is skipped ->
-    # no pairs at all (pair needs >=2 convs per entity by construction)
-    assert conv_comention_edges(edges, hub_cap=1).count() == 0
+    # floor 0 + factor 0 => cap 0: every entity is a hub and is skipped ->
+    # no pairs at all
+    assert (
+        conv_comention_edges(edges, hub_cap_min=0, hub_cap_factor=0.0).count()
+        == 0
+    )
 
 
 def test_enrich_area_labels(spark, tiny_transcripts):
