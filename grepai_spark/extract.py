@@ -83,10 +83,16 @@ def _make_mention_detector(aliases: list[str]):
 
     Detection = word-boundary presence (like the reference's regex extractor);
     ``pos`` = 1-based first literal occurrence (0 if boundary-matched but not
-    found literally — cannot happen for \\w+ aliases). Detection is vectorized
-    per alias over the whole pandas batch (str.contains / str.find), so cost is
-    O(|aliases|) vectorized passes per batch, not per row.
+    found literally — cannot happen for \\w+ aliases).
+
+    Matching is two-regime (automaton.build_matcher): a memmem-gated
+    per-alias loop for dictionary-scale alias sets (microbenched fastest,
+    PERF.md §8), an Aho-Corasick single-pass automaton above
+    AUTOMATON_CUTOFF entries — a production dictionary of 10^4-10^6 aliases
+    must not pay O(|dict|) scans per turn.
     """
+    from grepai_spark.automaton import build_matcher
+
     ordered = sorted(set(aliases))
     if not ordered:
         @F.pandas_udf(ArrayType(_MENTION_ELEM))
@@ -95,18 +101,7 @@ def _make_mention_detector(aliases: list[str]):
 
         return detect_none
 
-    # Detection strategy (microbenched on the sf0.1 corpus, PERF.md):
-    # str.find per alias (C memmem) gates a boundary check; the regex engine
-    # only runs when the first literal occurrence is NOT boundary-clean.
-    # 2.1x faster than one combined alternation regex (Python re tries every
-    # alternative at every position — it is not Aho-Corasick).
-    word_chars = frozenset(
-        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
-    )
-    patterns = {
-        a: re.compile(r"\b" + re.escape(a) + r"\b") for a in ordered
-    }
-    lens = {a: len(a) for a in ordered}
+    matcher = build_matcher(ordered)
 
     @F.pandas_udf(ArrayType(_MENTION_ELEM))
     def detect(texts: pd.Series) -> pd.Series:
@@ -120,23 +115,10 @@ def _make_mention_detector(aliases: list[str]):
             # the first literal occurrence in the ORIGINAL text (the same
             # split the SQL oracle makes).
             masked = mask_fences(text)
-            found: list[dict] = []
-            n = len(masked)
-            for a in ordered:
-                p = masked.find(a)
-                if p == -1:
-                    continue
-                # cheap boundary test at the first occurrence; fall back to a
-                # full regex search only when that occurrence is embedded
-                # (an alias may still boundary-match later in the text)
-                end = p + lens[a]
-                if (
-                    (p == 0 or masked[p - 1] not in word_chars)
-                    and (end >= n or masked[end] not in word_chars)
-                ) or patterns[a].search(masked):
-                    found.append(
-                        {"mention": a, "pos": text.find(a) + 1}
-                    )
+            found = [
+                {"mention": a, "pos": text.find(a) + 1}
+                for a in matcher(masked)
+            ]
             out.append(found or empty)
         return pd.Series(out)
 
@@ -195,14 +177,12 @@ def make_edge_detector(alias_map: dict[str, tuple[str, str]]):
     the per-turn dedup here makes the ENTIRE kg_edges derivation a single
     narrow map — no shuffle, no second pass; the per-turn distinct replaces
     the downstream dropDuplicates whose shuffle was the pipeline's only
-    exchange. Same memmem-gated boundary matching as the mention detector.
+    exchange. Same two-regime boundary matching as the mention detector
+    (memmem loop small, Aho-Corasick large — automaton.build_matcher).
     """
-    ordered = sorted(alias_map)
-    word_chars = frozenset(
-        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
-    )
-    patterns = {a: re.compile(r"\b" + re.escape(a) + r"\b") for a in ordered}
-    lens = {a: len(a) for a in ordered}
+    from grepai_spark.automaton import build_matcher
+
+    matcher = build_matcher(sorted(alias_map))
 
     @F.pandas_udf(ArrayType(_EDGE_ELEM))
     def detect_edges(texts: pd.Series) -> pd.Series:
@@ -212,19 +192,7 @@ def make_edge_detector(alias_map: dict[str, tuple[str, str]]):
             if not text:
                 out.append(empty)
                 continue
-            masked = mask_fences(text)
-            n = len(masked)
-            found: set[tuple[str, str]] = set()
-            for a in ordered:
-                p = masked.find(a)
-                if p == -1:
-                    continue
-                end = p + lens[a]
-                if (
-                    (p == 0 or masked[p - 1] not in word_chars)
-                    and (end >= n or masked[end] not in word_chars)
-                ) or patterns[a].search(masked):
-                    found.add(alias_map[a])
+            found = {alias_map[a] for a in matcher(mask_fences(text))}
             out.append(
                 [{"pred": p, "obj": o} for p, o in sorted(found)]
                 if found

@@ -98,4 +98,9 @@ def mark_done(
             F.current_timestamp().alias("updated_ts"),
         )
     )
-    catalog.merge_by_key(LINEAGE_TABLE, rows, ["stage", "bucket"])
+    # partitioned by stage: marking one stage's buckets done reads back and
+    # rewrites only that stage's partition (O(stage), not O(table)) — the
+    # contract's O(dirty) promise applies to the lineage table itself too
+    catalog.merge_by_key(
+        LINEAGE_TABLE, rows, ["stage", "bucket"], partition_by=["stage"]
+    )

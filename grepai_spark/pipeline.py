@@ -245,10 +245,13 @@ def run(
     counters["vertices"] = vertices_out.count()
 
     # ---- metrics sink (S8 analog: stats NDJSON -> a small metrics table) ---
+    # append-only run log (the reference's stats recorder appends NDJSON,
+    # stats/recorder.go): each run adds its counter snapshot — O(new rows),
+    # never a table rewrite; readers take the latest run_ts per metric
     metrics = spark.createDataFrame(
         [(k, int(v)) for k, v in sorted(counters.items())],
         "metric string, value long",
     ).withColumn("run_ts", F.current_timestamp())
-    catalog.merge_by_key("metrics", metrics, ["metric"])
+    catalog.append("metrics", metrics)
 
     return PipelineResult(edges=edges_out, vertices=vertices_out, counters=counters)

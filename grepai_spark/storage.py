@@ -5,10 +5,14 @@ replace the reference's flock + tmp-file + rename protocol
 (/root/reference/store/gob.go:189-235, trace/store.go:129-167), MERGE INTO
 replaces its in-place map updates, and partition specs (bucket(conv_id)) drive
 pruning. This sandbox has no Iceberg runtime jar, so `Catalog` provides the
-same contract over parquet directories with atomic directory-swap commits —
-write to `<table>.__tmp__`, fsync, rename over the live dir. The pipeline code
-only talks to this interface, so swapping in Iceberg is a config change
-(`writeTo(...).createOrReplace()` / `.append()`), not a rewrite.
+same contract over parquet directories with atomic directory-swap commits:
+full-table replace writes beside and renames over the live dir; partition
+merges write the dirty partitions beside and swap ONLY those partition
+subdirectories — a crash mid-job leaves every live partition either fully old
+or fully new, never half-written (the overwritePartitions commit contract).
+The pipeline code only talks to this interface, so swapping in Iceberg is a
+config change (`writeTo(...).createOrReplace()` / `.append()`), not a
+rewrite.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -66,6 +71,42 @@ class Catalog:
         """Append snapshot (Iceberg: .append())."""
         df.write.mode("append").parquet(self.path(table))
 
+    def _is_partitioned_by(self, table: str, col: str) -> bool:
+        """True iff the live table's layout has `col=` partition subdirs."""
+        p = self.path(table)
+        return any(e.startswith(f"{col}=") for e in os.listdir(p))
+
+    def _overwrite_partitions(
+        self, table: str, df: DataFrame, partition_by: list[str]
+    ) -> None:
+        """Swap exactly the partitions present in `df` into the live table.
+
+        df is written partitioned to a tmp dir beside the table; each
+        produced `col=value` subdirectory is then renamed over its live
+        counterpart one partition at a time — two cheap renames per dirty
+        partition, so a crash leaves every partition either fully old or
+        fully new (never a half-written mix the way writing mode('overwrite')
+        into the live dir would). Iceberg: overwritePartitions /
+        replaceWhere.
+        """
+        final = self.path(table)
+        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        os.makedirs(final, exist_ok=True)
+        prefix = f"{partition_by[0]}="
+        for entry in sorted(os.listdir(tmp)):
+            if not entry.startswith(prefix):
+                continue
+            src = os.path.join(tmp, entry)
+            dst = os.path.join(final, entry)
+            old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def merge_by_key(
         self,
         table: str,
@@ -75,31 +116,62 @@ class Catalog:
     ) -> None:
         """Idempotent upsert (Iceberg: MERGE INTO ... WHEN MATCHED UPDATE).
 
-        When the merge key IS the partition key (`partition_by == keys`, the
-        pipeline's per-bucket stage merges), this is a dynamic partition
-        overwrite: ONLY the dirty partitions are rewritten — Iceberg's
-        overwritePartitions / replaceWhere — so a resume that recomputes 2 of
-        16 buckets pays O(2 buckets), not O(table), and untouched bucket
-        files are not rewritten at all.
+        Three regimes, cheapest applicable first:
 
-        Otherwise (row-level keys): anti-join existing rows against update
-        keys, union, atomic swap. Last-write-wins per key is safe for our
-        tables: vectors are deterministic functions of the key and lineage
-        is append-ish.
+        * `partition_by == keys` (the pipeline's per-bucket stage merges):
+          dynamic partition overwrite — ONLY the dirty partitions are
+          swapped in, O(dirty buckets) not O(table), and untouched bucket
+          files are never rewritten.
+        * `partition_by` a strict subset of `keys` (streaming row-level
+          merges into a bucketed table): the dirty partitions are READ back,
+          anti-joined against the update keys, unioned with the updates and
+          swapped in — still O(dirty buckets); a micro-batch touching 2 of
+          16 buckets rewrites 2.
+        * otherwise (row-level keys, unpartitioned table): anti-join the
+          whole table, union, atomic swap — O(table), kept only for small
+          tables.
+
+        Last-write-wins per key is safe for our tables: vectors are
+        deterministic functions of the key and lineage is append-ish.
         """
         if not self.exists(table):
             self.overwrite(table, updates, partition_by=partition_by)
             return
         if partition_by and set(partition_by) == set(keys):
-            (
-                updates.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*partition_by)
-                .parquet(self.path(table))
+            self._overwrite_partitions(table, updates, partition_by)
+            return
+        if (
+            partition_by
+            and set(partition_by) < set(keys)
+            and self._is_partitioned_by(table, partition_by[0])
+        ):
+            dirty = [
+                tuple(r)
+                for r in updates.select(*partition_by).distinct().collect()
+            ]
+            existing = self.read(table)
+            cond = None
+            for vals in dirty:
+                c = F.lit(True)
+                for col, v in zip(partition_by, vals):
+                    c = c & (F.col(col) == F.lit(v))
+                cond = c if cond is None else (cond | c)
+            if cond is None:  # empty update batch
+                return
+            # partition-column filter -> directory pruning on the scan
+            existing_dirty = existing.where(cond)
+            kept = existing_dirty.join(
+                updates.select(*keys).distinct(), on=keys, how="left_anti"
             )
+            merged = kept.unionByName(updates.select(*kept.columns))
+            self._overwrite_partitions(table, merged, partition_by)
             return
         existing = self.read(table)
         kept = existing.join(
             updates.select(*keys).distinct(), on=keys, how="left_anti"
         )
-        self.overwrite(table, kept.unionByName(updates))
+        self.overwrite(
+            table,
+            kept.unionByName(updates.select(*kept.columns)),
+            partition_by=partition_by,
+        )

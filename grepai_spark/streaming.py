@@ -17,17 +17,26 @@ analog of the reference's content-hash re-index gate
 (/root/reference/indexer/indexer.go:161-164). No watermark is needed: the
 pipeline has no event-time aggregation, only stable (conv_id, turn_idx) keys
 (SURVEY.md §2.13).
+
+Every sink table is BUCKETED on conv_id (the same xxhash64 bucketing the
+batch pipeline's lineage uses), and the per-micro-batch MERGE includes the
+bucket in its key set — Catalog.merge_by_key then reads back and rewrites
+ONLY the buckets the batch touched (O(dirty buckets) per trigger), instead
+of anti-joining and rewriting the whole table. At stream volume the
+O(table)-per-trigger row-level merge is the difference between a pipeline
+that keeps up and one that falls progressively behind.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from grepai_spark import extract
+from grepai_spark import extract, lineage
 from grepai_spark.schemas import TRANSCRIPTS
 from grepai_spark.storage import Catalog
 
 EDGES_TABLE = "edges_stream"
+STREAM_BUCKETS = 16
 
 
 def incremental_call_edges(
@@ -47,11 +56,14 @@ def incremental_call_edges(
     catalog = Catalog(spark, out_dir)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        calls = extract.call_triples(batch)
+        calls = lineage.with_bucket(
+            extract.call_triples(batch), STREAM_BUCKETS
+        )
         catalog.merge_by_key(
             EDGES_TABLE,
             calls,
-            ["conv_id", "turn_idx", "obj"],
+            ["bucket", "conv_id", "turn_idx", "obj"],
+            partition_by=["bucket"],
         )
 
     stream = (
@@ -91,11 +103,14 @@ def incremental_kg_edges(
     amap = pipeline.alias_entity_map(alias_dict)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        edges = pipeline.kg_edges_from_map(batch, amap)
+        edges = lineage.with_bucket(
+            pipeline.kg_edges_from_map(batch, amap), STREAM_BUCKETS
+        )
         catalog.merge_by_key(
             KG_EDGES_TABLE,
             edges,
-            ["conv_id", "turn_idx", "pred", "obj"],
+            ["bucket", "conv_id", "turn_idx", "pred", "obj"],
+            partition_by=["bucket"],
         )
 
     stream = (
@@ -167,7 +182,12 @@ def conversation_stats_stream(
     )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        catalog.merge_by_key(CONV_STATS_TABLE, batch, ["conv_id"])
+        catalog.merge_by_key(
+            CONV_STATS_TABLE,
+            lineage.with_bucket(batch, STREAM_BUCKETS),
+            ["bucket", "conv_id"],
+            partition_by=["bucket"],
+        )
 
     q = (
         updates.writeStream.foreachBatch(merge_batch)

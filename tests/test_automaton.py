@@ -1,0 +1,143 @@
+"""Two-regime dictionary matcher: equivalence + the large-dict speedup claim."""
+
+from __future__ import annotations
+
+import random
+import re
+import time
+
+from grepai_spark.automaton import (
+    AUTOMATON_CUTOFF,
+    AhoCorasick,
+    build_matcher,
+)
+
+
+def naive_boundary_matches(aliases: list[str], text: str) -> list[str]:
+    """Ground truth: one \\b alias \\b regex per alias."""
+    return sorted(
+        a
+        for a in set(aliases)
+        if re.search(r"\b" + re.escape(a) + r"\b", text)
+    )
+
+
+TRICKY_ALIASES = [
+    "sql",
+    "spark sql",
+    "spark",
+    "park",
+    "sqlx",
+    "x",
+    "merge join",
+    "join",
+    "a_b",
+    "b",
+]
+
+TRICKY_TEXTS = [
+    "spark sql beats sqlx at a merge join",
+    "sparksql is one word; spark sql is two",
+    "park the sql query",
+    "a_b but not ab; x marks b",
+    "",
+    "sql",
+    "xsql sqlx x sql",
+    "join join join",
+    "no dictionary words here at all",
+    "spark sql spark sql spark",
+]
+
+
+def test_automaton_matches_naive_on_tricky_overlaps():
+    ac = AhoCorasick(sorted(set(TRICKY_ALIASES)))
+    for text in TRICKY_TEXTS:
+        assert ac.boundary_matches(text) == naive_boundary_matches(
+            TRICKY_ALIASES, text
+        ), text
+
+
+def test_automaton_matches_naive_on_random_texts():
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(50)] + TRICKY_ALIASES
+    for _ in range(200):
+        text = " ".join(rng.choices(words, k=rng.randint(0, 30)))
+        # random punctuation/embedding noise
+        if rng.random() < 0.5:
+            text = text.replace(" ", rng.choice([" ", ", ", ".", "_", "-"]))
+        got = AhoCorasick(sorted(set(TRICKY_ALIASES))).boundary_matches(text)
+        assert got == naive_boundary_matches(TRICKY_ALIASES, text), text
+
+
+def test_regimes_agree_across_cutoff():
+    aliases = TRICKY_ALIASES + [f"tool{i}" for i in range(40)]
+    small = build_matcher(aliases, cutoff=10**9)  # force memmem loop
+    large = build_matcher(aliases, cutoff=0)  # force automaton
+    for text in TRICKY_TEXTS + ["tool7 calls tool13 but not tool777"]:
+        assert sorted(small(text)) == sorted(large(text)), text
+
+
+def test_default_cutoff_regimes():
+    few = [f"a{i}" for i in range(10)]
+    many = [f"a{i}" for i in range(AUTOMATON_CUTOFF + 1)]
+    # the closure kind differs: small regime closes over compiled patterns,
+    # large over the lazy automaton cell — probe via cell attribute
+    assert build_matcher(few).__closure__ is not None
+    assert sorted(build_matcher(many)("a3 a7 xa9")) == ["a3", "a7"]
+
+
+def test_large_dictionary_speedup():
+    """VERDICT r2 #4 acceptance: at a 10k-alias dictionary the automaton
+    beats the per-alias loop >= 5x with identical output."""
+    n = 10_000
+    aliases = [f"alias{i}x" for i in range(n)]
+    rng = random.Random(3)
+    texts = [
+        " ".join(
+            rng.choice(aliases) if rng.random() < 0.3 else f"filler{j}"
+            for j in range(80)
+        )
+        for _ in range(50)
+    ]
+    small = build_matcher(aliases, cutoff=10**9)
+    large = build_matcher(aliases, cutoff=0)
+    large(texts[0])  # trigger lazy build outside the timed window
+
+    for text in texts[:5]:
+        assert sorted(small(text)) == sorted(large(text))
+
+    def best_of(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for text in texts:
+                fn(text)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_large = best_of(large)
+    t_small = best_of(small)
+    assert t_small >= 5 * t_large, (
+        f"automaton {t_large:.3f}s vs per-alias loop {t_small:.3f}s "
+        f"({t_small / t_large:.1f}x)"
+    )
+
+
+def test_detect_mentions_identical_across_regimes(
+    spark, tiny_transcripts, monkeypatch
+):
+    """End-to-end: the mention detector emits identical rows whether the
+    matcher runs the memmem loop or the Aho-Corasick automaton."""
+    from grepai_spark import automaton, extract
+    from grepai_spark.synth import alias_dict_df
+
+    d = alias_dict_df(spark)
+    small = extract.detect_mentions(tiny_transcripts, d).collect()
+
+    orig = automaton.build_matcher
+    monkeypatch.setattr(
+        automaton, "build_matcher", lambda aliases, cutoff=0: orig(aliases, 0)
+    )
+    large = extract.detect_mentions(tiny_transcripts, d).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, large))
+    assert len(small) > 0

@@ -151,3 +151,70 @@ def test_stateful_conversation_stats(spark, tiny_transcripts, tmp_path):
         r["conv_id"]: (r["n"], r["t"], r["m"]) for r in want_df.collect()
     }
     assert got == want
+
+
+def _bucket_file_mtimes(table_dir: str) -> dict[str, float]:
+    """{bucket=N/part-file: mtime} for every parquet data file."""
+    out = {}
+    for entry in os.listdir(table_dir):
+        sub = os.path.join(table_dir, entry)
+        if not (entry.startswith("bucket=") and os.path.isdir(sub)):
+            continue
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                out[f"{entry}/{f}"] = os.path.getmtime(os.path.join(sub, f))
+    return out
+
+
+def test_streaming_merge_rewrites_only_dirty_buckets(
+    spark, tiny_transcripts, tmp_path
+):
+    """The streaming sink is bucketed: a micro-batch touching only conv-c/d
+    must leave conv-a/b's bucket files untouched on disk (same inode+mtime),
+    proving the merge is O(dirty buckets), not O(table)."""
+    from grepai_spark import lineage
+
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "out3")
+    ck = str(tmp_path / "ck3")
+    os.makedirs(src, exist_ok=True)
+
+    first = tiny_transcripts.where("conv_id = 'conv-a'")
+    second = tiny_transcripts.where("conv_id <> 'conv-a'")
+    _write_slice(first, f"{src}/slice1")
+    streaming.incremental_call_edges(spark, f"{src}/slice*", out, ck)
+
+    table_dir = os.path.join(out, streaming.EDGES_TABLE)
+    before = _bucket_file_mtimes(table_dir)
+    assert before, "expected bucket=N partition layout"
+
+    # buckets the second slice will touch (only conv-b has tool turns)
+    calls2 = lineage.with_bucket(
+        extract.call_triples(second), streaming.STREAM_BUCKETS
+    )
+    dirty = {r["bucket"] for r in calls2.select("bucket").distinct().collect()}
+    assert dirty, "fixture must produce second-slice call edges"
+
+    _write_slice(second, f"{src}/slice2")
+    streaming.incremental_call_edges(spark, f"{src}/slice*", out, ck)
+
+    after = _bucket_file_mtimes(table_dir)
+    clean_before = {
+        k: v
+        for k, v in before.items()
+        if int(k.split("=")[1].split("/")[0]) not in dirty
+    }
+    assert clean_before, "fixture must leave at least one clean bucket"
+    for k, mtime in clean_before.items():
+        assert after.get(k) == mtime, f"clean bucket file rewritten: {k}"
+
+    # and the merged content is still exactly right
+    cat = Catalog(spark, out)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["obj"])
+        for r in cat.read(streaming.EDGES_TABLE).collect()
+    }
+    assert got == {
+        (r["conv_id"], r["turn_idx"], r["obj"])
+        for r in extract.call_triples(tiny_transcripts).collect()
+    }
