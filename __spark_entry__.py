@@ -407,15 +407,11 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas byte-feature plumbing; no SQL oracle (rows-only check).
-    return multimodal.extract_features(
-        multimodal.attach_binary(_docs(spark, sf_dir))
-    ).withColumn(
-        "byte_features",
-        F.expr(
-            "concat_ws(',', transform(byte_features,"
-            " x -> cast(round(x, 6) as string)))"
-        ),
+    # REAL decode: synthesize deterministic PPM payloads, parse them with
+    # the pure-numpy decoder, sum decoded pixels per channel — the oracle
+    # recomputes the integers from the fixture's closed form.
+    return multimodal.image_features(
+        multimodal.synth_images(_docs(spark, sf_dir))
     )
 
 
@@ -556,7 +552,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.doc_fingerprint_oracle(),
         "media_meta": multimodal.media_meta_oracle(),
         "frame_meta": multimodal.frame_meta_oracle(),
+        "media_features": multimodal.image_features_oracle(),
         # frame_sample: mapInPandas sampler — rows-only check by design.
-        # media_features: mapInPandas byte histograms — intentionally no SQL
-        # oracle (rows-only check); the decode seam is a stub by design.
     }

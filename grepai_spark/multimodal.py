@@ -1,12 +1,16 @@
 """Multimodal column plumbing — binary payloads with typed metadata.
 
 A 100 TB training-data corpus carries image/audio/video payloads as opaque
-`binary` columns beside typed metadata. The real decode libraries are not in
-this container, so the DECODE step is a clearly-marked stub
-(`decode_image` raises NotImplementedError); everything Spark-side — schema,
-Arrow batch shape, mapInPandas signature, partition behavior — is real and
-tested. The deterministic byte-feature extractor stands in for a decoder so
-the distributed plumbing has verifiable output.
+`binary` columns beside typed metadata. The image path decodes FOR REAL:
+payloads are binary PPM (P6) images, `decode_ppm` is an actual pure-numpy
+parser (magic, whitespace-tolerant header, raster validation), and
+`image_features` sums decoded pixels per channel — integers a SQL oracle
+recomputes exactly from the fixture's closed form, so the whole
+synthesize -> decode -> feature round-trip is independently verified.
+JPEG/PNG would need codec libraries absent from this container; that branch
+of `decode_image` is the one remaining declared stub, and production swaps
+PIL/torchvision in at that exact seam. Everything Spark-side — schema, Arrow
+batch shape, mapInPandas signature, partition behavior — is real and tested.
 
 Mirrors the reference's treatment of file bytes as opaque content + metadata
 (path/size/modtime/hash, /root/reference/indexer/scanner.go:100-112) and its
@@ -59,17 +63,81 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — requires PIL/libjpeg, absent in this container.
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic binary P6 (PPM) image for `doc_id`: the multimodal
+    fixture generator. Dimensions and every pixel byte are closed-form
+    functions of doc_id, so a SQL oracle can recompute the decoded features
+    without ever touching bytes:
 
-    STUB: the Spark-side contract (binary in, HxWxC array out, called from
-    extract_features' pandas batches) is what production swaps in.
+        w = 4 + doc_id % 5,  h = 3 + doc_id % 4
+        raster[i] = (doc_id * 7 + i * 13) % 256   (i over w*h*3 bytes)
     """
-    raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "environment; use extract_features (deterministic byte features) "
-        "for plumbing tests"
-    )
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    header = f"P6\n{w} {h}\n255\n".encode()
+    n = w * h * 3
+    raster = bytes((doc_id * 7 + i * 13) % 256 for i in range(n))
+    return header + raster
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """REAL pure-numpy decode of a binary P6 (PPM) payload -> HxWx3 uint8.
+
+    PPM is the uncompressed interchange format (magic + ascii dims/maxval +
+    raw raster), so decoding needs no external codec — this is an actual
+    parser (magic check, whitespace-tolerant header scan, raster length
+    validation), not a fake. Compressed formats dispatch through
+    :func:`decode_image` below.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 ascii fields (w, h, maxval), whitespace separated;
+    # a single whitespace byte then separates maxval from the raster
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single post-maxval whitespace byte
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, offset=i)
+    if raster.size != w * h * 3:
+        raise ValueError(
+            f"raster size {raster.size} != {w}x{h}x3"
+        )
+    return raster.reshape(h, w, 3)
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG"
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode a binary image payload to HxWxC uint8, by sniffed format
+    (the reference's magic-byte sniffing, indexer/scanner.go:305-312).
+
+    PPM decodes for real (pure numpy). JPEG/PNG need libjpeg/libpng-backed
+    codecs absent from this container — that branch is the one remaining
+    declared environment stub; production swaps in PIL/torchvision at this
+    exact seam (same signature, same mapInPandas call site).
+    """
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_JPEG_MAGIC) or payload.startswith(_PNG_MAGIC):
+        raise NotImplementedError(
+            "JPEG/PNG decode requires an image codec not present in this "
+            "environment; PPM payloads decode for real via decode_ppm"
+        )
+    raise ValueError("unrecognized image payload")
 
 
 def extract_features(
@@ -195,6 +263,113 @@ SELECT doc_id,
        CAST(ceil(octet_length(encode(text)) / CAST({frame_bytes} AS DOUBLE)) AS BIGINT) AS n_frames,
        CAST(ceil(ceil(octet_length(encode(text)) / CAST({frame_bytes} AS DOUBLE)) / CAST({every} AS DOUBLE)) AS BIGINT) AS n_sampled
 FROM documents
+""".strip()
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def synth_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): attach the deterministic PPM payload per document
+    — the image-bearing multimodal table stand-in (in production this column
+    arrives from the source table). mapInPandas: one Python call per Arrow
+    batch, narrow map."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_ppm(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction over the binary payload column:
+    decode_image parses each PPM raster to HxWx3 pixels, features are the
+    per-channel pixel sums + dimensions (integers — exactly recomputable by
+    the SQL oracle from the fixture's closed form, no float tolerance).
+
+    mapInPandas — one Python invocation per Arrow batch, a narrow map (no
+    shuffle); at scale the batch loop is where a vision tower would consume
+    the decoded arrays (same seam, same schema discipline).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                rs.append(int(sums[0]))
+                gs.append(int(sums[1]))
+                bs.append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "sum_r": pd.Series(rs, dtype="int64"),
+                    "sum_g": pd.Series(gs, dtype="int64"),
+                    "sum_b": pd.Series(bs, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def image_features_oracle() -> str:
+    """Closed-form recomputation of the decoded features: the fixture's
+    pixel bytes are (doc_id*7 + i*13) % 256 over the w*h*3 raster with
+    channel c at raster index 3*p + c, so each channel sum is an integer
+    series DuckDB evaluates exactly — an INDEPENDENT check that the real
+    PPM round-trip (synth -> parse -> pixel sums) is lossless."""
+    return """
+WITH dims AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM dims
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum((doc_id * 7 + (3 * p + 0) * 13) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 7 + (3 * p + 1) * 13) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 7 + (3 * p + 2) * 13) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h
 """.strip()
 
 

@@ -352,3 +352,36 @@ def test_corpus_clean_statuses(spark, docs):
         did for did in passq if first_by_text[texts[did]] != did
     }
     assert by_status.get("exact_dup", set()) == want_exact
+
+
+def test_ppm_round_trip_and_decode_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    img = multimodal.decode_ppm(multimodal.synth_ppm(123))
+    assert img.shape == (3 + 123 % 4, 4 + 123 % 5, 3)
+    assert img.dtype == np.uint8
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n2 2\n255\n....")
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n2 2\n255\nxx")  # short raster
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")  # jpeg: env stub
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF89a")
+
+
+def test_image_features_matches_decoded_pixels(spark, docs):
+    import numpy as np
+
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.image_features(
+            multimodal.synth_images(docs.limit(20))
+        ).collect()
+    }
+    for doc_id, r in feats.items():
+        img = multimodal.decode_ppm(multimodal.synth_ppm(doc_id))
+        sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert (r["height"], r["width"]) == img.shape[:2]
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in sums)

@@ -4,33 +4,116 @@ N vs 4N executor criterion.
 Packages grepai_spark as a --py-files zip and runs tools/scaling_job.py (the
 full KG pipeline over the sf corpus replicated REPLICATE-fold) via
 spark-submit at local[2] (N) and local[8] (4N) on the SAME input.
-Throughput scaling efficiency = (tp_4N / tp_N) / 4. Refreshes the measured
-table in BASELINE.md and prints a JSON summary.
+Throughput scaling efficiency = (tp_4N / tp_N) / 4.
 
-Two sandbox realities shape the defaults (details + measurements in PERF.md):
+Robustness protocol (one `invocation` = one efficiency measurement):
+
+* every invocation is bracketed by a CPU probe (fixed busy work at 1 and at
+  `hi` processes; unthrottled hosts run them in the same wall). An
+  invocation is CLEAN iff both probes show >= PROBE_CLEAN parallel
+  efficiency — the host throttles sustained wide bursts in multi-minute
+  windows (PERF.md §10-11), and a throttled window invalidates the
+  measurement, not the plan;
+* every history entry records the git commit, sf_dir, parallelism pair and
+  replicate it measured, so a PASS can never be inherited by later code:
+  the headline is the MEDIAN efficiency of the clean invocations matching
+  the CURRENT commit + configuration, and the criterion passes only with
+  >= MIN_CLEAN clean invocations whose median >= 0.8 AND the last two
+  clean invocations both >= 0.8 (two consecutive passes);
+* prior-commit history stays in BASELINE.md as a separate disclosed table.
+
+Two sandbox realities shape the defaults (measurements in PERF.md):
 * replication — at raw sf0.1 the optimized pipeline finishes in ~4.5 s and
-  only measures scheduler overhead; x16 puts it in the compute-dominated
+  only measures scheduler overhead; x64 puts it in the compute-dominated
   regime a real cluster run would be in;
 * 2-vs-8 cores — the host throttles sustained >8-core bursts (a 32-thread
-  JVM degrades 3.7s -> 37s across consecutive runs), so 8-vs-32 measures the
-  hypervisor. 2-vs-8 is the same 4x ratio and is sustained-stable.
+  JVM degrades 3.7s -> 37s across consecutive runs), so 8-vs-32 measures
+  the hypervisor. 2-vs-8 is the same 4x ratio and is sustained-stable.
 
-Usage: python tools/scaling_run.py [sf_dir] [replicate]
+Usage: python tools/scaling_run.py [sf_dir] [replicate] [invocations]
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
+import multiprocessing
 import os
 import re
 import shutil
+import statistics
 import subprocess
 import sys
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARK_BEGIN = "<!-- SCALING:BEGIN -->"
 MARK_END = "<!-- SCALING:END -->"
+PROBE_CLEAN = 0.75  # min parallel efficiency of the bracket probes
+MIN_CLEAN = 3  # clean invocations required before the verdict counts
+HIST_PATH = os.path.join(REPO, "tools", "scaling_history.jsonl")
+
+
+def git_commit() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        return out + ("+dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
+def _busy(_: int) -> int:
+    # ~1 s of fixed CPU work: long enough that process spawn overhead
+    # (~30 ms) is noise in the parallel-efficiency ratio
+    h = b"probe"
+    for _ in range(2_000_000):
+        h = hashlib.md5(h).digest()
+    return 1
+
+
+def _probe_wall(nproc: int) -> float:
+    t0 = time.perf_counter()
+    if nproc == 1:
+        _busy(0)
+    else:
+        # forked Processes (not a Pool): the target is inherited, never
+        # pickled, so the probe works however this module was loaded
+        ctx = multiprocessing.get_context("fork")
+        procs = [ctx.Process(target=_busy, args=(i,)) for i in range(nproc)]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+    return time.perf_counter() - t0
+
+
+def probe_eff(hi: int) -> float:
+    """Parallel efficiency of fixed busy work at `hi` processes vs 1: each
+    process does the SAME work, so an unthrottled host runs both in the same
+    wall (eff ~ 1.0); a throttle window shows up as eff << 1. Max of two
+    reps — scheduler jitter dips a single rep, but a throttle window (which
+    lasts minutes) fails both."""
+    best = 0.0
+    for _ in range(2):
+        w1 = _probe_wall(1)
+        wn = _probe_wall(hi)
+        if wn > 0:
+            best = max(best, w1 / wn)
+    return round(best, 3)
 
 
 def build_zip(path: str) -> None:
@@ -71,117 +154,127 @@ def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
     return json.loads(line)
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    # x64 keeps the 8-core burst ~15-25 s — under the host's sustained-burst
-    # throttle window — while still compute-dominated (PERF.md §10)
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    zip_path = "/tmp/grepai_spark_pyfiles.zip"
-    build_zip(zip_path)
-    # N=2 vs 4N=8: this sandbox's host throttles sustained >8-core bursts
-    # (measured in PERF.md), so 8-vs-32 measures the hypervisor, not the
-    # plan. 2-vs-8 is the same 4x core ratio and is sustained-stable.
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
-    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
-    # interleave lo/hi twice with cooldowns and keep the best of each level:
-    # the host throttles in multi-minute windows, and a single ordering would
-    # systematically penalize whichever level runs second.
-    import time as _time
-
+def run_invocation(
+    sf_dir: str, replicate: int, lo: int, hi: int, zip_path: str
+) -> dict:
+    """One bracketed measurement: probe, interleaved lo/hi submits with
+    pre-burst cooldowns (min wall per level), probe."""
+    eff_before = probe_eff(hi)
     runs: dict[int, dict] = {}
-    # hi first on fresh CPU credits (the 2-core level never trips the host
-    # throttle; the 8-core level does when run after other bursts). The
-    # credit pool refills over minutes, so each 8-core burst gets a LONG
-    # cooldown before it; the 2-core runs need none.
-    # three hi reps: the throttler hits wide bursts stochastically and
-    # min-of-reps needs at least one clean window
+    # hi first on fresh CPU credits; each hi burst gets a LONG cooldown
+    # (credit pool refills over minutes); lo runs need none. Three hi reps:
+    # the throttler hits wide bursts stochastically and min-of-reps needs at
+    # least one clean window.
     for cpus in (hi, lo, hi, lo, hi):
         if cpus == hi:
-            _time.sleep(int(os.environ.get("SPARK_GRAFT_HI_COOLDOWN", "180")))
+            time.sleep(int(os.environ.get("SPARK_GRAFT_HI_COOLDOWN", "180")))
         r = submit(cpus, sf_dir, replicate, zip_path)
         if cpus not in runs or r["wall_sec"] < runs[cpus]["wall_sec"]:
             runs[cpus] = r
-        _time.sleep(30)
+        time.sleep(30)
+    eff_after = probe_eff(hi)
     r_lo, r_hi = runs[lo], runs[hi]
-
-    # Persist every invocation to a history file and headline the BEST
-    # efficiency measured on the current code: each invocation is already
-    # min-of-reps per level, and the host's burst throttling adds
-    # multi-minute noise windows BETWEEN invocations too (PERF.md), so the
-    # min-of-repeats discipline extends across invocations. The full
-    # history is written into BASELINE.md for transparency.
-    hist_path = os.path.join(REPO, "tools", "scaling_history.jsonl")
-    this_run = {
-        "n_turns": r_hi["n_turns"],
+    return {
+        "commit": git_commit(),
+        "sf_dir": sf_dir,
         "replicate": replicate,
+        "lo": lo,
+        "hi": hi,
+        "n_turns": r_hi["n_turns"],
         "wall_lo": r_lo["wall_sec"],
         "wall_hi": r_hi["wall_sec"],
         "eff": round(
             (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo), 3
         ),
+        "probe_before": eff_before,
+        "probe_after": eff_after,
+        "clean": min(eff_before, eff_after) >= PROBE_CLEAN,
     }
-    with open(hist_path, "a") as f:
-        f.write(json.dumps(this_run) + "\n")
-    history = [
-        json.loads(l) for l in open(hist_path) if l.strip()
-    ]
-    # headline = best invocation across the whole history (every recorded
-    # size is compute-dominated; the criterion is a ratio, not a size)
-    best = max(history or [this_run], key=lambda h: h["eff"])
-    r_lo = dict(r_lo, n_turns=best["n_turns"], wall_sec=best["wall_lo"],
-                turns_per_sec=round(best["n_turns"] / best["wall_lo"], 1))
-    r_hi = dict(r_hi, n_turns=best["n_turns"], wall_sec=best["wall_hi"],
-                turns_per_sec=round(best["n_turns"] / best["wall_hi"], 1))
-    replicate = best.get("replicate", replicate)
 
-    tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
-    summary = {
-        "sf_dir": sf_dir,
-        "n_turns": r_hi["n_turns"],
-        "cpus_lo": lo,
-        "cpus_hi": hi,
-        "turns_per_sec_lo": tp_lo,
-        "turns_per_sec_hi": tp_hi,
-        "wall_sec_lo": r_lo["wall_sec"],
-        "wall_sec_hi": r_hi["wall_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "target": 0.8,
-        "pass": eff >= 0.8,
-    }
-    print(json.dumps(summary))
 
-    hist_rows = "\n".join(
-        f"| {h['n_turns']} | {h['wall_lo']} | {h['wall_hi']} | {h['eff']} |"
+def load_history() -> list[dict]:
+    if not os.path.exists(HIST_PATH):
+        return []
+    return [json.loads(l) for l in open(HIST_PATH) if l.strip()]
+
+
+def verdict(history: list[dict], key: dict) -> dict:
+    """Median-of-clean verdict for the current commit + configuration."""
+    cur = [
+        h
         for h in history
+        if h.get("commit") == key["commit"]
+        and h.get("sf_dir") == key["sf_dir"]
+        and h.get("lo") == key["lo"]
+        and h.get("hi") == key["hi"]
+        and h.get("replicate") == key["replicate"]
+    ]
+    clean = [h for h in cur if h.get("clean")]
+    med = round(statistics.median(h["eff"] for h in clean), 3) if clean else None
+    consec = (
+        len(clean) >= 2
+        and clean[-1]["eff"] >= 0.8
+        and clean[-2]["eff"] >= 0.8
     )
+    return {
+        "invocations": cur,
+        "clean": clean,
+        "median_eff": med,
+        "n_clean": len(clean),
+        "pass": (
+            len(clean) >= MIN_CLEAN and med is not None and med >= 0.8 and consec
+        ),
+    }
+
+
+def write_baseline_block(history: list[dict], key: dict, v: dict) -> None:
+    lo, hi = key["lo"], key["hi"]
+    cur_rows = "\n".join(
+        f"| {h['n_turns']} | {h['wall_lo']} | {h['wall_hi']} | {h['eff']} "
+        f"| {h['probe_before']}/{h['probe_after']} "
+        f"| {'yes' if h['clean'] else 'NO'} |"
+        for h in v["invocations"]
+    ) or "| (none yet) | | | | | |"
+    prior = [h for h in history if h not in v["invocations"]]
+    prior_rows = "\n".join(
+        f"| {h.get('commit', '-')} | {h.get('n_turns', '-')} "
+        f"| {h.get('wall_lo', '-')} | {h.get('wall_hi', '-')} "
+        f"| {h.get('eff', '-')} | {h.get('clean', '-')} |"
+        for h in prior
+    )
+    med = v["median_eff"]
+    clean_effs = ", ".join(str(h["eff"]) for h in v["clean"]) or "none"
     block = f"""{MARK_BEGIN}
-## Measured scaling (best recorded run; full history below)
+## Measured scaling (median of clean invocations on the current commit)
 
 spark-submit --py-files job (tools/scaling_job.py): full KG pipeline
 (extract -> link -> canonicalize -> materialize) over the SAME input
-({r_hi['n_turns']} turns = {sf_dir} x{replicate} deterministic replication)
-at two parallelism levels — the sandbox proxy for N vs 4N executors.
-Each harness invocation takes the min wall over 3 hi / 2 lo reps with
-pre-burst cooldowns; the headline is the best invocation at this size (the
-shared host throttles sustained wide bursts in multi-minute windows —
-PERF.md — so min-of-repeats extends across invocations):
+({key['sf_dir']} x{key['replicate']} deterministic replication) at two
+parallelism levels — the sandbox proxy for N vs 4N executors. Each
+invocation takes min wall over 3 hi / 2 lo reps with pre-burst cooldowns
+and is bracketed by CPU probes; an invocation is CLEAN iff both probes show
+>= {PROBE_CLEAN} parallel efficiency (the shared host throttles sustained
+wide bursts in multi-minute windows — PERF.md §10-11). The verdict needs
+>= {MIN_CLEAN} clean invocations, median >= 0.8, and the last two clean
+invocations both >= 0.8.
 
-| parallelism | pipeline wall (s, min of reps) | throughput (turns/sec) |
-|---|---|---|
-| local[{lo}] (N) | {r_lo['wall_sec']} | {tp_lo} |
-| local[{hi}] (4N) | {r_hi['wall_sec']} | {tp_hi} |
+Current commit `{key['commit']}` invocations (local[{lo}]=N vs local[{hi}]=4N):
 
-**Scaling efficiency = (tp_4N / tp_N) / 4 = {eff:.3f}** (target >= 0.8:
-{'PASS' if eff >= 0.8 else 'FAIL'}).
+| n_turns | wall local[{lo}] (s) | wall local[{hi}] (s) | efficiency | probes | clean |
+|---|---|---|---|---|---|
+{cur_rows}
 
-All recorded invocations (tools/scaling_history.jsonl):
+**Scaling efficiency (median of {v['n_clean']} clean: {clean_effs}) =
+{med if med is not None else 'n/a'}** (target >= 0.8:
+{'PASS' if v['pass'] else 'FAIL' if med is not None else 'PENDING'}).
 
-| n_turns | wall local[{lo}] (s) | wall local[{hi}] (s) | efficiency |
-|---|---|---|---|
-{hist_rows}
+Prior recorded invocations (earlier commits / configurations, disclosed
+for transparency — not used for the verdict):
+
+| commit | n_turns | wall lo | wall hi | efficiency | clean |
+|---|---|---|---|---|---|
+{prior_rows}
 {MARK_END}"""
-
     baseline_md = os.path.join(REPO, "BASELINE.md")
     with open(baseline_md) as f:
         text = f.read()
@@ -196,6 +289,43 @@ All recorded invocations (tools/scaling_history.jsonl):
         text = text.rstrip() + "\n\n" + block + "\n"
     with open(baseline_md, "w") as f:
         f.write(text)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # x64 keeps the 8-core burst ~15-25 s — under the host's sustained-burst
+    # throttle window — while still compute-dominated (PERF.md §10)
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    invocations = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+    zip_path = "/tmp/grepai_spark_pyfiles.zip"
+    build_zip(zip_path)
+    key = {
+        "commit": git_commit(),
+        "sf_dir": sf_dir,
+        "replicate": replicate,
+        "lo": lo,
+        "hi": hi,
+    }
+    for i in range(invocations):
+        entry = run_invocation(sf_dir, replicate, lo, hi, zip_path)
+        with open(HIST_PATH, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        print(json.dumps({"invocation": i + 1, **entry}), flush=True)
+        history = load_history()
+        v = verdict(history, key)
+        write_baseline_block(history, key, v)
+        summary = {
+            "sf_dir": sf_dir,
+            "commit": key["commit"],
+            "n_clean": v["n_clean"],
+            "median_eff": v["median_eff"],
+            "clean_effs": [h["eff"] for h in v["clean"]],
+            "target": 0.8,
+            "pass": v["pass"],
+        }
+        print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
