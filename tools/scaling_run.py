@@ -155,10 +155,20 @@ def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
 
 
 def run_invocation(
-    sf_dir: str, replicate: int, lo: int, hi: int, zip_path: str
+    sf_dir: str,
+    replicate: int,
+    lo: int,
+    hi: int,
+    zip_path: str,
+    commit: str,
 ) -> dict:
     """One bracketed measurement: probe, interleaved lo/hi submits with
-    pre-burst cooldowns (min wall per level), probe."""
+    pre-burst cooldowns (min wall per level), probe.
+
+    `commit` is captured ONCE at harness start (when the --py-files zip is
+    built): it identifies the measured code, and re-reading HEAD per entry
+    would let an unrelated commit landing mid-run split one session's
+    entries across keys."""
     eff_before = probe_eff(hi)
     runs: dict[int, dict] = {}
     # hi first on fresh CPU credits; each hi burst gets a LONG cooldown
@@ -175,7 +185,7 @@ def run_invocation(
     eff_after = probe_eff(hi)
     r_lo, r_hi = runs[lo], runs[hi]
     return {
-        "commit": git_commit(),
+        "commit": commit,
         "sf_dir": sf_dir,
         "replicate": replicate,
         "lo": lo,
@@ -309,7 +319,9 @@ def main() -> None:
         "hi": hi,
     }
     for i in range(invocations):
-        entry = run_invocation(sf_dir, replicate, lo, hi, zip_path)
+        entry = run_invocation(
+            sf_dir, replicate, lo, hi, zip_path, key["commit"]
+        )
         with open(HIST_PATH, "a") as f:
             f.write(json.dumps(entry) + "\n")
         print(json.dumps({"invocation": i + 1, **entry}), flush=True)
