@@ -151,6 +151,47 @@ def ann_lsh_topk(
     )
 
 
+def write_lsh_bucketed(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = N_PLANES,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embedding table PARTITIONED BY its sign-LSH bucket —
+    the batch job that turns ann_lsh_topk's per-row bucket expression into a
+    physical partition column. One pass over the corpus, one write; queries
+    then touch ~1/2^n_planes of the files (see ann_lsh_topk_bucketed)."""
+    emb.withColumn("bucket", F.expr(bucket_sql(vec_col, n_planes))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def ann_lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = N_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a bucket-partitioned embedding store: the bucket predicate
+    is a PARTITION filter (directory pruning — the scan never opens files
+    outside the query's bucket), then exact cosine re-ranks inside. This is
+    the physical realization of ann_lsh_topk's scale story; results are
+    identical by construction (same planes, same bucket function)."""
+    qb = py_bucket(query_vec, n_planes)
+    cos = F.expr(cosine_vs_query_sql(vec_col, query_vec))
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket") == F.lit(qb))
+        .withColumn("score", F.round(cos, 6))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
 def ivf_centroids(
     emb: DataFrame,
     cell_col: str = "label",

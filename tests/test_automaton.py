@@ -141,3 +141,39 @@ def test_detect_mentions_identical_across_regimes(
     large = extract.detect_mentions(tiny_transcripts, d).collect()
     assert sorted(map(tuple, small)) == sorted(map(tuple, large))
     assert len(small) > 0
+
+
+def test_kg_edges_from_map_with_large_dictionary(spark):
+    """End-to-end through the Spark UDF: a 10k-entry alias map pushes the
+    edge detector into the automaton regime; emitted triples must match the
+    naive per-alias ground truth on texts that hit a known subset."""
+    from grepai_spark.pipeline import kg_edges_from_map
+    from grepai_spark.schemas import TRANSCRIPTS
+    import datetime
+
+    amap = {
+        f"bulkalias{i}": ("mentions", f"e_bulk{i % 7}") for i in range(10_000)
+    }
+    amap["run report"] = ("does", "e_run_report")
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "bulkalias42 and bulkalias9999 please", "", ts),
+        ("c1", 1, "assistant", "xbulkalias42y is embedded", "tools.go", ts),
+        ("c2", 0, "user", "run report then bulkalias0", "", ts),
+        ("c2", 1, "user", "```bulkalias7 fenced```", "", ts),
+    ]
+    t = spark.createDataFrame(rows, schema=TRANSCRIPTS)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in kg_edges_from_map(t, amap).collect()
+    }
+    want = {
+        ("user", "mentions", "e_bulk0", "c1", 0),  # bulkalias42 -> 42%7=0
+        ("user", "mentions", "e_bulk3", "c1", 0),  # bulkalias9999 -> 9999%7=3
+        ("assistant", "calls", "tools.go", "c1", 1),  # embedded alias: no mention
+        ("user", "does", "e_run_report", "c2", 0),
+        ("user", "mentions", "e_bulk0", "c2", 0),  # bulkalias0
+        # c2 turn 1: fenced alias masked -> nothing
+    }
+    assert got == want

@@ -385,3 +385,30 @@ def test_image_features_matches_decoded_pixels(spark, docs):
         sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         assert (r["height"], r["width"]) == img.shape[:2]
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in sums)
+
+
+def test_ann_lsh_bucketed_prunes_partitions(spark, tmp_path):
+    """The bucket-partitioned ANN store: identical top-k to the expression
+    path, and the scan's physical plan carries the bucket as a PARTITION
+    filter (directory pruning), not a row filter."""
+    from grepai_spark.embed import py_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = str(tmp_path / "emb_by_bucket")
+    ann.write_lsh_bucketed(emb, store)
+
+    q = py_encode("scan filter join", dim=64)
+    got = ann.ann_lsh_topk_bucketed(spark, store, q, 10)
+    want = ann.ann_lsh_topk(emb, q, 10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the bucket predicate must appear among the partition filters, and the
+    # data filters must NOT re-evaluate the 8-plane bucket expression
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert pf, plan

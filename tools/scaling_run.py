@@ -50,7 +50,12 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARK_BEGIN = "<!-- SCALING:BEGIN -->"
 MARK_END = "<!-- SCALING:END -->"
-PROBE_CLEAN = 0.75  # min parallel efficiency of the bracket probes
+# Min parallel efficiency of the bracketing/mid probes for an invocation to
+# count as clean. Calibration (r3 session, tools/scaling_history.jsonl):
+# invocations whose worst probe read ~0.77 measured 0.61-0.71 efficiency,
+# while >= 0.88 probes measured 0.88 — 0.75 admitted partially-throttled
+# windows, so the gate sits above the degraded band.
+PROBE_CLEAN = 0.85
 MIN_CLEAN = 3  # clean invocations required before the verdict counts
 HIST_PATH = os.path.join(REPO, "tools", "scaling_history.jsonl")
 
@@ -170,18 +175,24 @@ def run_invocation(
     would let an unrelated commit landing mid-run split one session's
     entries across keys."""
     eff_before = probe_eff(hi)
+    eff_mid = 1.0
     runs: dict[int, dict] = {}
     # hi first on fresh CPU credits; each hi burst gets a LONG cooldown
     # (credit pool refills over minutes); lo runs need none. Three hi reps:
     # the throttler hits wide bursts stochastically and min-of-reps needs at
     # least one clean window.
-    for cpus in (hi, lo, hi, lo, hi):
+    seq = (hi, lo, hi, lo, hi)
+    for step, cpus in enumerate(seq):
         if cpus == hi:
-            time.sleep(int(os.environ.get("SPARK_GRAFT_HI_COOLDOWN", "180")))
+            time.sleep(int(os.environ.get("SPARK_GRAFT_HI_COOLDOWN", "240")))
         r = submit(cpus, sf_dir, replicate, zip_path)
         if cpus not in runs or r["wall_sec"] < runs[cpus]["wall_sec"]:
             runs[cpus] = r
         time.sleep(30)
+        if step == len(seq) // 2:
+            # mid probe: bracket probes miss a throttle window that opens
+            # and closes inside the ~12-minute invocation
+            eff_mid = probe_eff(hi)
     eff_after = probe_eff(hi)
     r_lo, r_hi = runs[lo], runs[hi]
     return {
@@ -197,8 +208,9 @@ def run_invocation(
             (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo), 3
         ),
         "probe_before": eff_before,
+        "probe_mid": eff_mid,
         "probe_after": eff_after,
-        "clean": min(eff_before, eff_after) >= PROBE_CLEAN,
+        "clean": min(eff_before, eff_mid, eff_after) >= PROBE_CLEAN,
     }
 
 
@@ -206,6 +218,18 @@ def load_history() -> list[dict]:
     if not os.path.exists(HIST_PATH):
         return []
     return [json.loads(l) for l in open(HIST_PATH) if l.strip()]
+
+
+def is_clean(h: dict) -> bool:
+    """Cleanliness from the RECORDED probes at the current PROBE_CLEAN gate
+    (not the flag stored at measurement time) — recalibrating the gate
+    applies uniformly to every entry of the commit under judgment."""
+    probes = [
+        h.get("probe_before", 0.0),
+        h.get("probe_mid", 1.0),
+        h.get("probe_after", 0.0),
+    ]
+    return min(probes) >= PROBE_CLEAN
 
 
 def verdict(history: list[dict], key: dict) -> dict:
@@ -219,7 +243,7 @@ def verdict(history: list[dict], key: dict) -> dict:
         and h.get("hi") == key["hi"]
         and h.get("replicate") == key["replicate"]
     ]
-    clean = [h for h in cur if h.get("clean")]
+    clean = [h for h in cur if is_clean(h)]
     med = round(statistics.median(h["eff"] for h in clean), 3) if clean else None
     consec = (
         len(clean) >= 2
@@ -241,15 +265,16 @@ def write_baseline_block(history: list[dict], key: dict, v: dict) -> None:
     lo, hi = key["lo"], key["hi"]
     cur_rows = "\n".join(
         f"| {h['n_turns']} | {h['wall_lo']} | {h['wall_hi']} | {h['eff']} "
-        f"| {h['probe_before']}/{h['probe_after']} "
-        f"| {'yes' if h['clean'] else 'NO'} |"
+        f"| {h['probe_before']}/{h.get('probe_mid', '-')}/{h['probe_after']} "
+        f"| {'yes' if is_clean(h) else 'NO'} |"
         for h in v["invocations"]
     ) or "| (none yet) | | | | | |"
     prior = [h for h in history if h not in v["invocations"]]
     prior_rows = "\n".join(
         f"| {h.get('commit', '-')} | {h.get('n_turns', '-')} "
         f"| {h.get('wall_lo', '-')} | {h.get('wall_hi', '-')} "
-        f"| {h.get('eff', '-')} | {h.get('clean', '-')} |"
+        f"| {h.get('eff', '-')} "
+        f"| {is_clean(h) if 'probe_before' in h else '-'} |"
         for h in prior
     )
     med = v["median_eff"]
