@@ -287,8 +287,8 @@ spark-submit --py-files job (tools/scaling_job.py): full KG pipeline
 ({key['sf_dir']} x{key['replicate']} deterministic replication) at two
 parallelism levels — the sandbox proxy for N vs 4N executors. Each
 invocation takes min wall over 3 hi / 2 lo reps with pre-burst cooldowns
-and is bracketed by CPU probes; an invocation is CLEAN iff both probes show
->= {PROBE_CLEAN} parallel efficiency (the shared host throttles sustained
+and carries before/mid/after CPU probes; an invocation is CLEAN iff all
+three show >= {PROBE_CLEAN} parallel efficiency (the shared host throttles sustained
 wide bursts in multi-minute windows — PERF.md §10-11). The verdict needs
 >= {MIN_CLEAN} clean invocations, median >= 0.8, and the last two clean
 invocations both >= 0.8.
