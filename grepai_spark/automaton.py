@@ -15,14 +15,29 @@ two-regime switch (the same shape cc.canonical_map uses for its small/large
 regimes): below ``AUTOMATON_CUTOFF`` aliases the memmem loop wins (measured
 in tests/test_automaton.py), above it the automaton does.
 
-The matcher builds lazily on first call: the UDF closure pickles only the
-alias list (small), and each long-lived Python worker builds the automaton
-once — the per-executor in-memory symbol map, exactly how the reference holds
-its dictionaries in RAM (rpg/indexer.go:527).
+Worker-side state discipline (the 10^6-alias regime): Spark deserializes a
+fresh copy of the UDF command for EVERY task, so any state held in a closure
+cell is rebuilt per task. The matcher therefore lives in a MODULE-LEVEL memo
+(:func:`matcher_for`, keyed by a content hash of the alias tuple) — module
+globals survive across tasks in a reused Python worker, so each long-lived
+worker process builds the automaton exactly once per dictionary version, the
+per-executor in-memory symbol map exactly how the reference holds its
+dictionaries in RAM (rpg/indexer.go:527). The alias data itself ships via
+``SparkContext.broadcast`` (:class:`AliasPayload`), not closure capture, so
+the pickled task command stays small at any dictionary size.
+
+Boundary semantics are identical in BOTH regimes: an occurrence counts iff
+its neighbors are outside the ASCII word set (``WORD_CHARS``), checked at
+every literal occurrence. This is the same predicate Java's and RE2's
+default ``\\b`` apply in the Spark/DuckDB oracles; the small regime uses no
+Unicode-aware fallback, so crossing AUTOMATON_CUTOFF can never change
+detection output (aliases are expected to be ASCII — the dictionary loader's
+domain — and non-ASCII text neighbors are non-word in every engine here).
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 # measured crossover on ~500-char texts (loop vs automaton wall): 128
@@ -107,33 +122,98 @@ class AhoCorasick:
         return sorted(patterns[i] for i in found)
 
 
+def _boundary_occurrence(text: str, alias: str, n: int, first: int) -> bool:
+    """True iff some literal occurrence of `alias` (starting the scan at the
+    known `first` hit) has non-word ASCII neighbors on both sides — the SAME
+    predicate AhoCorasick.boundary_matches applies at every occurrence."""
+    word = WORD_CHARS
+    la = len(alias)
+    p = first
+    while p != -1:
+        end = p + la
+        if (p == 0 or text[p - 1] not in word) and (
+            end >= n or text[end] not in word
+        ):
+            return True
+        p = text.find(alias, p + 1)
+    return False
+
+
 def _small_regime(ordered: list[str]) -> Callable[[str], list[str]]:
     """The measured-fastest small-dictionary path (PERF.md §8): one C-memmem
-    ``str.find`` per alias gates a cheap boundary test at the first literal
-    occurrence; the regex engine runs only when that occurrence is embedded
-    (the alias may still boundary-match later in the text)."""
-    import re
-
-    patterns = {a: re.compile(r"\b" + re.escape(a) + r"\b") for a in ordered}
-    lens = {a: len(a) for a in ordered}
-    word = WORD_CHARS
+    ``str.find`` per alias gates the boundary scan; when the first literal
+    occurrence is embedded, the scan walks the remaining occurrences with the
+    same ASCII boundary test the automaton applies — regime choice can never
+    change results."""
 
     def match(text: str) -> list[str]:
         n = len(text)
         found: list[str] = []
         for a in ordered:
             p = text.find(a)
-            if p == -1:
-                continue
-            end = p + lens[a]
-            if (
-                (p == 0 or text[p - 1] not in word)
-                and (end >= n or text[end] not in word)
-            ) or patterns[a].search(text):
+            if p != -1 and _boundary_occurrence(text, a, n, p):
                 found.append(a)
         return found
 
     return match
+
+
+# ---------------------------------------------------------------------------
+# Per-process state: module globals survive across tasks in a reused Python
+# worker (unlike closure cells, which arrive fresh with every deserialized
+# task command), so these memos ARE the "build once per worker" guarantee.
+# ---------------------------------------------------------------------------
+
+BUILD_COUNT = 0  # total AhoCorasick constructions in this process (tests)
+_AC_MEMO: dict[str, AhoCorasick] = {}
+_MATCHER_MEMO: dict[tuple[str, int], Callable[[str], list[str]]] = {}
+_MEMO_CAP = 8  # dictionary versions live per process are few; bound the memos
+
+
+def _content_key(ordered: tuple[str, ...]) -> str:
+    h = hashlib.sha256()
+    for a in ordered:
+        h.update(a.encode())
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def automaton_for(ordered: tuple[str, ...]) -> AhoCorasick:
+    """The per-process automaton for this exact (sorted, deduped) alias
+    tuple — built at most once per worker process per dictionary version."""
+    global BUILD_COUNT
+    key = _content_key(ordered)
+    ac = _AC_MEMO.get(key)
+    if ac is None:
+        BUILD_COUNT += 1
+        ac = AhoCorasick(list(ordered))
+        if len(_AC_MEMO) >= _MEMO_CAP:
+            _AC_MEMO.clear()
+        _AC_MEMO[key] = ac
+    return ac
+
+
+def matcher_for(
+    ordered: tuple[str, ...], cutoff: int = AUTOMATON_CUTOFF
+) -> Callable[[str], list[str]]:
+    """Per-process memoized matcher over a sorted, deduped alias tuple.
+
+    The content-hash key means two broadcast payloads carrying the same
+    dictionary share one build; the memo is module state, so it persists
+    across task boundaries in a reused worker.
+    """
+    key = (_content_key(ordered), cutoff)
+    m = _MATCHER_MEMO.get(key)
+    if m is None:
+        if len(ordered) <= cutoff:
+            m = _small_regime(list(ordered))
+        else:
+            ac = automaton_for(ordered)
+            m = ac.boundary_matches
+        if len(_MATCHER_MEMO) >= _MEMO_CAP:
+            _MATCHER_MEMO.clear()
+        _MATCHER_MEMO[key] = m
+    return m
 
 
 def build_matcher(
@@ -142,20 +222,44 @@ def build_matcher(
     """text -> sorted aliases with a word-boundary occurrence in text.
 
     Two-regime: memmem loop below `cutoff` aliases, Aho-Corasick above.
-    The automaton is built lazily on first call so the (pickled) UDF closure
-    ships only the alias list and each worker process builds once.
+    Dispatches through the module-level memo, so every matcher for the same
+    dictionary content in one process shares one build — including matchers
+    arriving inside freshly-deserialized task commands.
     """
-    ordered = sorted(set(aliases))
-    if len(ordered) <= cutoff:
-        return _small_regime(ordered)
+    return matcher_for(tuple(sorted(set(aliases))), cutoff)
 
-    cell: list[AhoCorasick | None] = [None]
 
-    def match(text: str) -> list[str]:
-        ac = cell[0]
-        if ac is None:
-            ac = AhoCorasick(ordered)
-            cell[0] = ac
-        return ac.boundary_matches(text)
+class AliasPayload:
+    """Broadcast payload for a dictionary UDF: the alias data plus a
+    per-process lazily-bound matcher.
 
-    return match
+    Ship one of these via ``SparkContext.broadcast`` instead of closing over
+    the raw dict: the task command then pickles only the broadcast handle
+    (bytes, not the dictionary), each worker unpickles the payload once into
+    its broadcast registry, and :meth:`matcher` binds to the module-memoized
+    matcher on first use — the instance cache makes every later batch a
+    single attribute read (no re-sorting, no re-hashing per batch).
+
+    `data` maps alias -> caller-defined payload (a kind string for mention
+    detection, a (pred, entity_id) tuple for edge emission).
+    """
+
+    def __init__(self, data: dict):
+        self.data = data
+        self.ordered = tuple(sorted(data))
+        self._matcher: Callable[[str], list[str]] | None = None
+
+    def matcher(self) -> Callable[[str], list[str]]:
+        m = self._matcher
+        if m is None:
+            m = matcher_for(self.ordered)
+            self._matcher = m
+        return m
+
+    def __getstate__(self):
+        return {"data": self.data, "ordered": self.ordered}
+
+    def __setstate__(self, state):
+        self.data = state["data"]
+        self.ordered = state["ordered"]
+        self._matcher = None

@@ -15,9 +15,12 @@ for transcripts:
   RegexExtractor.ExtractAll (/root/reference/trace/extractor.go:768).
 
 Scale notes: the UDF is a narrow map — no shuffle; detection cost is
-O(batch * automaton) and the alias dictionary ships once per executor via the
-closure (broadcast semantics). Output explodes to at most
-len(dict-entities-present) rows per turn.
+O(batch * automaton). The alias dictionary ships via SparkContext.broadcast
+(the task command pickles only the handle), each worker unpickles it ONCE
+into its broadcast registry, and the matcher binds through the module-level
+memo in grepai_spark.automaton — so at a 10^6-alias production dictionary a
+worker pays one automaton build per dictionary version, not one per task.
+Output explodes to at most len(dict-entities-present) rows per turn.
 """
 
 from __future__ import annotations
@@ -56,8 +59,37 @@ def call_triples(transcripts: DataFrame) -> DataFrame:
 
 
 _MENTION_ELEM = StructType(
-    [StructField("mention", StringType()), StructField("pos", IntegerType())]
+    [
+        StructField("mention", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("kind", StringType()),
+    ]
 )
+
+# Driver-side broadcast memo: one broadcast per (SparkContext, dictionary
+# content) — bench repeats and per-micro-batch detector construction reuse
+# the shipped payload instead of re-broadcasting it every call.
+_BROADCASTS: dict[tuple[str, str], object] = {}
+
+
+def _broadcast_payload(data: dict):
+    from pyspark.sql import SparkSession
+
+    from grepai_spark.automaton import AliasPayload, _content_key
+
+    spark = SparkSession.getActiveSession()
+    sc = spark.sparkContext
+    key = (
+        sc.applicationId,
+        _content_key(tuple(f"{k}\x01{data[k]}" for k in sorted(data))),
+    )
+    bc = _BROADCASTS.get(key)
+    if bc is None:
+        bc = sc.broadcast(AliasPayload(data))
+        if len(_BROADCASTS) > 32:
+            _BROADCASTS.clear()
+        _BROADCASTS[key] = bc
+    return bc
 
 # P5/P6 analog — the reference drops regex matches inside string/comment
 # regions via a byte mask (/root/reference/trace/extractor.go:540-702). The
@@ -78,33 +110,36 @@ def mask_fences(text: str) -> str:
     return FENCE_RE.sub(" ", text) if "```" in text else text
 
 
-def _make_mention_detector(aliases: list[str]):
-    """Build the Arrow-batched detector for a fixed alias list.
+def _make_mention_detector(kinds: dict[str, str]):
+    """Build the Arrow-batched detector for a fixed alias -> kind dict.
 
     Detection = word-boundary presence (like the reference's regex extractor);
     ``pos`` = 1-based first literal occurrence (0 if boundary-matched but not
-    found literally — cannot happen for \\w+ aliases).
+    found literally — cannot happen for \\w+ aliases). ``kind`` comes from
+    the broadcast payload, not a driver-side create_map literal — a 10^6-entry
+    map expression would bloat the plan; the broadcast dict stays off-plan.
 
-    Matching is two-regime (automaton.build_matcher): a memmem-gated
-    per-alias loop for dictionary-scale alias sets (microbenched fastest,
-    PERF.md §8), an Aho-Corasick single-pass automaton above
-    AUTOMATON_CUTOFF entries — a production dictionary of 10^4-10^6 aliases
-    must not pay O(|dict|) scans per turn.
+    Matching is two-regime (automaton.matcher_for): a memmem-gated per-alias
+    loop for small alias sets (microbenched fastest, PERF.md §8), an
+    Aho-Corasick single-pass automaton above AUTOMATON_CUTOFF entries — a
+    production dictionary of 10^4-10^6 aliases must not pay O(|dict|) scans
+    per turn. The dict ships by broadcast; the matcher builds once per worker
+    process via the module memo (see automaton.py).
     """
-    from grepai_spark.automaton import build_matcher
-
-    ordered = sorted(set(aliases))
-    if not ordered:
+    if not kinds:
         @F.pandas_udf(ArrayType(_MENTION_ELEM))
         def detect_none(texts: pd.Series) -> pd.Series:
             return pd.Series([[] for _ in range(len(texts))])
 
         return detect_none
 
-    matcher = build_matcher(ordered)
+    bc = _broadcast_payload(dict(kinds))
 
     @F.pandas_udf(ArrayType(_MENTION_ELEM))
     def detect(texts: pd.Series) -> pd.Series:
+        payload = bc.value  # one unpickle per worker (broadcast registry)
+        matcher = payload.matcher()  # module-memoized: one build per worker
+        kind_of = payload.data
         out = []
         empty: list[dict] = []
         for text in texts.fillna(""):
@@ -116,7 +151,7 @@ def _make_mention_detector(aliases: list[str]):
             # split the SQL oracle makes).
             masked = mask_fences(text)
             found = [
-                {"mention": a, "pos": text.find(a) + 1}
+                {"mention": a, "pos": text.find(a) + 1, "kind": kind_of[a]}
                 for a in matcher(masked)
             ]
             out.append(found or empty)
@@ -140,25 +175,19 @@ def detect_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
         .collect()
     )
     kinds = {r["alias"]: r["kind"] for r in rows}
-    detect = _make_mention_detector(list(kinds))
-    kind_map = F.create_map(
-        *[F.lit(x) for kv in kinds.items() for x in kv]
-    )
-    return (
-        transcripts.select(
-            "conv_id",
-            "turn_idx",
-            "role",
-            F.explode(detect(F.col("text"))).alias("m"),
-        )
-        .select(
-            "conv_id",
-            "turn_idx",
-            "role",
-            F.col("m.mention").alias("mention"),
-            F.col("m.pos").alias("pos"),
-        )
-        .withColumn("kind", kind_map[F.col("mention")])
+    detect = _make_mention_detector(kinds)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.explode(detect(F.col("text"))).alias("m"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("m.mention").alias("mention"),
+        F.col("m.pos").alias("pos"),
+        F.col("m.kind").alias("kind"),
     )
 
 
@@ -172,27 +201,29 @@ def make_edge_detector(alias_map: dict[str, tuple[str, str]]):
     text -> sorted distinct [(pred, entity_id)] per turn.
 
     `alias_map`: alias -> (pred, entity_id), the dictionary-scale product of
-    linking + canonicalization, closed over by the UDF (broadcast-by-closure,
-    like the reference's in-memory symbol maps, rpg/indexer.go:527). Fusing
-    the per-turn dedup here makes the ENTIRE kg_edges derivation a single
-    narrow map — no shuffle, no second pass; the per-turn distinct replaces
-    the downstream dropDuplicates whose shuffle was the pipeline's only
-    exchange. Same two-regime boundary matching as the mention detector
-    (memmem loop small, Aho-Corasick large — automaton.build_matcher).
+    linking + canonicalization, shipped to executors by SparkContext.broadcast
+    (the reference's in-memory symbol maps, rpg/indexer.go:527; the task
+    command pickles only the broadcast handle). Fusing the per-turn dedup
+    here makes the ENTIRE kg_edges derivation a single narrow map — no
+    shuffle, no second pass; the per-turn distinct replaces the downstream
+    dropDuplicates whose shuffle was the pipeline's only exchange. Same
+    two-regime boundary matching as the mention detector (memmem loop small,
+    Aho-Corasick large), built once per worker via automaton.matcher_for.
     """
-    from grepai_spark.automaton import build_matcher
-
-    matcher = build_matcher(sorted(alias_map))
+    bc = _broadcast_payload(dict(alias_map))
 
     @F.pandas_udf(ArrayType(_EDGE_ELEM))
     def detect_edges(texts: pd.Series) -> pd.Series:
+        payload = bc.value  # one unpickle per worker (broadcast registry)
+        matcher = payload.matcher()  # module-memoized: one build per worker
+        amap = payload.data
         out = []
         empty: list[dict] = []
         for text in texts.fillna(""):
             if not text:
                 out.append(empty)
                 continue
-            found = {alias_map[a] for a in matcher(mask_fences(text))}
+            found = {amap[a] for a in matcher(mask_fences(text))}
             out.append(
                 [{"pred": p, "obj": o} for p, o in sorted(found)]
                 if found

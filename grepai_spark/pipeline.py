@@ -37,7 +37,7 @@ def kg_edges_df(
 
     The linking + canonicalization product is dictionary-scale, so it
     collapses to an alias -> (pred, entity_id) map computed once on the
-    driver (two tiny jobs) and closed over by the edge-detector UDF. The
+    driver (two tiny jobs) and broadcast to the edge-detector UDF. The
     corpus-scale plan is then ONE narrow map over transcripts: call edges
     come from an inline array filter on the `tool` column, mention/does
     edges from the UDF (per-turn distinct inside the batch), one explode —
@@ -57,8 +57,9 @@ def alias_entity_map(
 ) -> dict[str, tuple[str, str]]:
     """alias -> (pred, entity_id): the dictionary-scale product of linking +
     canonicalization, computed ONCE per run/dictionary version (two tiny
-    jobs) and shipped to executors by closure — the reference's in-memory
-    symbol maps (rpg/indexer.go:527)."""
+    jobs) and shipped to executors via SparkContext.broadcast (inside
+    make_edge_detector) — the reference's in-memory symbol maps
+    (rpg/indexer.go:527)."""
     sim = (
         link.alias_similarity_edges_lsh(alias_dict)
         if use_lsh

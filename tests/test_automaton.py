@@ -177,3 +177,92 @@ def test_kg_edges_from_map_with_large_dictionary(spark):
         # c2 turn 1: fenced alias masked -> nothing
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 4: per-worker (module-memo) state + regime semantic identity
+# ---------------------------------------------------------------------------
+
+def test_regimes_agree_on_nonword_edge_and_nonascii_neighbors():
+    """ADVICE r3: crossing AUTOMATON_CUTOFF must never change detection —
+    including aliases with non-word edge chars and non-ASCII neighbors."""
+    aliases = ["c++", "-foo", "a.b", "x", "plain"]
+    small = build_matcher(aliases, cutoff=10**9)
+    large = build_matcher(aliases, cutoff=0)
+    texts = [
+        "use c++ here", "xc++", "c++x", "c++, then c++",
+        "-foo bar", "a-foo", "z-foo!", "say -foo.",
+        "a.b.c", "ab", "a.b", "xa.b",
+        "héllo x", "xé x é", "plainé plain",
+    ]
+    for t in texts:
+        assert sorted(small(t)) == sorted(large(t)), t
+
+
+def test_alias_payload_builds_once_per_process():
+    """The automaton builds once per process per dictionary version: fresh
+    deserialized payload copies (one per task in a real worker) all bind to
+    the module-memoized matcher instead of rebuilding."""
+    from pyspark import cloudpickle
+
+    from grepai_spark import automaton
+
+    data = {
+        f"pay{i}": ("mentions", f"e{i % 5}")
+        for i in range(AUTOMATON_CUTOFF + 40)
+    }
+    p1 = automaton.AliasPayload(data)
+    n0 = automaton.BUILD_COUNT
+    p1.matcher()
+    assert automaton.BUILD_COUNT == n0 + 1
+    # two "tasks" each deserialize their own copy of the same payload
+    p2 = cloudpickle.loads(cloudpickle.dumps(automaton.AliasPayload(data)))
+    p3 = cloudpickle.loads(cloudpickle.dumps(automaton.AliasPayload(data)))
+    assert p2._matcher is None  # the matcher itself is never pickled
+    assert p2.matcher()("pay3 xpay4y") == ["pay3"]
+    assert p3.matcher()("pay3") == ["pay3"]
+    assert automaton.BUILD_COUNT == n0 + 1  # no growth with copies
+    assert p2.matcher() is p2.matcher()  # instance cache: one attr read
+
+
+def test_edge_detector_builds_bounded_by_workers_not_tasks(spark):
+    """End-to-end through Spark: 256 detection tasks over a large dictionary,
+    then probe surviving python workers — a per-task rebuild would show
+    BUILD_COUNT growing with tasks-per-worker (>= 8 here); the module memo
+    caps it at the number of dictionary versions the worker ever saw."""
+    import datetime
+
+    from grepai_spark.pipeline import kg_edges_from_map
+    from grepai_spark.schemas import TRANSCRIPTS
+
+    amap = {
+        f"wrk{i}": ("mentions", f"e{i % 5}")
+        for i in range(AUTOMATON_CUTOFF * 3)
+    }
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"c{i}", 0, "user", f"wrk{i % 400} and wrk{(i + 1) % 400}", "", ts)
+        for i in range(512)
+    ]
+    t = spark.createDataFrame(rows, schema=TRANSCRIPTS).repartition(256)
+    assert kg_edges_from_map(t, amap).count() > 0
+
+    def probe(_):
+        import os
+
+        from grepai_spark import automaton as am
+
+        yield {"pid": os.getpid(), "builds": am.BUILD_COUNT}
+
+    counts = (
+        spark.sparkContext.parallelize(range(256), 256)
+        .mapPartitions(probe)
+        .collect()
+    )
+    per_pid: dict[int, int] = {}
+    for c in counts:
+        per_pid[c["pid"]] = max(per_pid.get(c["pid"], 0), c["builds"])
+    # other tests in this session may have shipped a few other large
+    # dictionaries to the same long-lived workers; the margin vs the >= 8
+    # tasks-per-worker a rebuild-per-task would show stays wide
+    assert max(per_pid.values()) <= 6, per_pid
