@@ -256,3 +256,20 @@ def run(
     catalog.append("metrics", metrics)
 
     return PipelineResult(edges=edges_out, vertices=vertices_out, counters=counters)
+
+
+def latest_metrics(catalog: Catalog) -> DataFrame:
+    """Latest-run view over the append-only metrics log — the documented
+    dedup rule for the S8 table contract (ADVICE r3): the metrics table is
+    one row PER RUN per metric (append-only history, like the reference's
+    NDJSON stats log, stats/recorder.go); consumers wanting current values
+    take the max run_ts per metric, which is exactly this view."""
+    from pyspark.sql import Window
+
+    m = catalog.read("metrics")
+    w = Window.partitionBy("metric").orderBy(F.desc("run_ts"))
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

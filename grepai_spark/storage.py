@@ -26,11 +26,79 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+_TMP_MARK = ".__tmp__"
+_NEW_MARK = ".__new__"
+_OLD_MARK = ".__old__"
+
+
+def _marker_base(name: str) -> tuple[str, str] | None:
+    """(base, marker) if `name` is a swap-protocol artifact, else None."""
+    for mark in (_NEW_MARK, _OLD_MARK, _TMP_MARK):
+        i = name.find(mark)
+        if i > 0:
+            return name[:i], mark
+    return None
+
+
+def _swap_dir(src: str, dst: str) -> None:
+    """Commit `src` over `dst` with a forward-recoverable three-rename
+    protocol: stage the COMPLETE new data beside dst first (rename is
+    metadata-only), so the unavoidable instant where dst does not exist
+    always has a fully-written `dst.__new__*` sibling recovery can promote —
+    a crash can never leave the partition missing with only stale data to
+    fall back to (ADVICE r3)."""
+    token = uuid.uuid4().hex[:8]
+    new = f"{dst}{_NEW_MARK}{token}"
+    os.rename(src, new)  # stage: new data complete, live dir untouched
+    old = f"{dst}{_OLD_MARK}{token}"
+    if os.path.isdir(dst):
+        os.rename(dst, old)
+    os.rename(new, dst)  # commit
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_dir(parent: str) -> None:
+    """Repair swap-protocol leftovers in `parent` from an interrupted run.
+
+    __tmp__ dirs are in-progress writes — always deleted. __new__ dirs are
+    COMPLETE staged data: promoted if the live dir is missing (finish the
+    crashed commit forward), deleted otherwise. __old__ dirs are the
+    displaced previous version: restored only if neither the live dir nor a
+    staged __new__ exists, deleted otherwise. Processing __new__ before
+    __old__ makes forward completion win — the staged data was fully
+    written before the swap began.
+    """
+    if not os.path.isdir(parent):
+        return
+    entries = sorted(os.listdir(parent))
+    marked = [(e, _marker_base(e)) for e in entries]
+    for mark_pass in (_TMP_MARK, _NEW_MARK, _OLD_MARK):
+        for entry, bm in marked:
+            if bm is None or bm[1] != mark_pass:
+                continue
+            full = os.path.join(parent, entry)
+            if not os.path.isdir(full):
+                continue
+            base = os.path.join(parent, bm[0])
+            if mark_pass == _TMP_MARK:
+                shutil.rmtree(full, ignore_errors=True)
+            elif os.path.isdir(base):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.rename(full, base)
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # startup recovery: finish or roll back any swap a crash interrupted
+        # (table-level artifacts at the root, partition-level inside tables)
+        _recover_dir(root)
+        for entry in sorted(os.listdir(root)):
+            _recover_dir(os.path.join(root, entry))
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -55,17 +123,12 @@ class Catalog:
         """Atomic replace: write beside, then swap (Iceberg: REPLACE TABLE /
         overwritePartitions)."""
         final = self.path(table)
-        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        tmp = f"{final}{_TMP_MARK}{uuid.uuid4().hex[:8]}"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        _swap_dir(tmp, final)
 
     def append(self, table: str, df: DataFrame) -> None:
         """Append snapshot (Iceberg: .append())."""
@@ -82,29 +145,24 @@ class Catalog:
         """Swap exactly the partitions present in `df` into the live table.
 
         df is written partitioned to a tmp dir beside the table; each
-        produced `col=value` subdirectory is then renamed over its live
-        counterpart one partition at a time — two cheap renames per dirty
-        partition, so a crash leaves every partition either fully old or
-        fully new (never a half-written mix the way writing mode('overwrite')
-        into the live dir would). Iceberg: overwritePartitions /
-        replaceWhere.
+        produced `col=value` subdirectory is then committed over its live
+        counterpart via the staged three-rename swap (_swap_dir) — cheap
+        metadata renames per dirty partition, and a crash at ANY instant
+        leaves the partition recoverable as either fully old or fully new
+        (never missing, never a half-written mix the way writing
+        mode('overwrite') into the live dir would): Catalog startup
+        recovery promotes a staged __new__ or restores the __old__.
+        Iceberg: overwritePartitions / replaceWhere.
         """
         final = self.path(table)
-        tmp = f"{final}.__tmp__{uuid.uuid4().hex[:8]}"
+        tmp = f"{final}{_TMP_MARK}{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
         os.makedirs(final, exist_ok=True)
         prefix = f"{partition_by[0]}="
         for entry in sorted(os.listdir(tmp)):
             if not entry.startswith(prefix):
                 continue
-            src = os.path.join(tmp, entry)
-            dst = os.path.join(final, entry)
-            old = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
-            if os.path.isdir(dst):
-                os.rename(dst, old)
-            os.rename(src, dst)
-            if os.path.isdir(old):
-                shutil.rmtree(old, ignore_errors=True)
+            _swap_dir(os.path.join(tmp, entry), os.path.join(final, entry))
         shutil.rmtree(tmp, ignore_errors=True)
 
     def merge_by_key(

@@ -39,6 +39,30 @@ EDGES_TABLE = "edges_stream"
 STREAM_BUCKETS = 16
 
 
+def _migrate_bucketed(
+    catalog: Catalog,
+    table: str,
+    n_buckets: int = STREAM_BUCKETS,
+    key: str = "conv_id",
+) -> None:
+    """One-time layout migration (ADVICE r3): a sink table written by a
+    pre-bucketed version has no `bucket` column, so a resumed stream's
+    bucket-keyed MERGE would fail its anti-join on the missing key. The
+    bucket is derivable (xxhash64 of the conv key — lineage.with_bucket), so
+    backfill it once and rewrite into the bucketed partition layout; every
+    later micro-batch then merges O(dirty-bucket)."""
+    if not catalog.exists(table):
+        return
+    existing = catalog.read(table)
+    if "bucket" in existing.columns:
+        return
+    catalog.overwrite(
+        table,
+        lineage.with_bucket(existing, n_buckets, key=key),
+        partition_by=["bucket"],
+    )
+
+
 def incremental_call_edges(
     spark: SparkSession,
     source_dir: str,
@@ -54,6 +78,7 @@ def incremental_call_edges(
     implements with mod-time + content-hash checks.
     """
     catalog = Catalog(spark, out_dir)
+    _migrate_bucketed(catalog, EDGES_TABLE)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         calls = lineage.with_bucket(
@@ -100,6 +125,7 @@ def incremental_kg_edges(
     from grepai_spark import pipeline
 
     catalog = Catalog(spark, out_dir)
+    _migrate_bucketed(catalog, KG_EDGES_TABLE)
     amap = pipeline.alias_entity_map(alias_dict)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -148,6 +174,7 @@ def conversation_stats_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     catalog = Catalog(spark, out_dir)
+    _migrate_bucketed(catalog, CONV_STATS_TABLE)
 
     def update(key, pdfs, state: GroupState):
         turns, tools, last = (

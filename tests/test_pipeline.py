@@ -186,3 +186,32 @@ def test_fused_kg_edges_plan_has_no_exchange(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_latest_metrics_view_dedups_append_only_log(spark, tmp_path):
+    """S8 contract (ADVICE r3): the metrics table is an append-only run log;
+    latest_metrics is the documented reader — one row per metric, max run_ts
+    wins."""
+    import datetime
+
+    from grepai_spark.pipeline import latest_metrics
+    from grepai_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "mcat"))
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        ("edges", 10, t0),
+        ("edges", 25, t1),
+        ("vertices", 5, t0),
+    ]
+    cat.append(
+        "metrics",
+        spark.createDataFrame(
+            rows, "metric string, value long, run_ts timestamp"
+        ),
+    )
+    got = {
+        r["metric"]: r["value"] for r in latest_metrics(cat).collect()
+    }
+    assert got == {"edges": 25, "vertices": 5}

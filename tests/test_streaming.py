@@ -218,3 +218,39 @@ def test_streaming_merge_rewrites_only_dirty_buckets(
         (r["conv_id"], r["turn_idx"], r["obj"])
         for r in extract.call_triples(tiny_transcripts).collect()
     }
+
+
+def test_stream_resumes_over_unbucketed_legacy_table(
+    spark, tiny_transcripts, tmp_path
+):
+    """ADVICE r3: a sink table written by a pre-bucketed version (no bucket
+    column) must migrate cleanly on the next drain instead of failing the
+    bucket-keyed merge, and end up in the bucketed layout with the union of
+    old + new edges."""
+    src = str(tmp_path / "msrc")
+    out = str(tmp_path / "mout")
+    ck = str(tmp_path / "mck")
+    os.makedirs(src, exist_ok=True)
+
+    first = tiny_transcripts.where("conv_id in ('conv-a', 'conv-b')")
+    second = tiny_transcripts.where("conv_id not in ('conv-a', 'conv-b')")
+
+    # legacy layout: call edges WITHOUT a bucket column, unpartitioned
+    cat = Catalog(spark, out)
+    cat.overwrite(streaming.EDGES_TABLE, extract.call_triples(first))
+    assert "bucket" not in cat.read(streaming.EDGES_TABLE).columns
+
+    _write_slice(second, f"{src}/slice1")
+    streaming.incremental_call_edges(spark, f"{src}/slice*", out, ck)
+
+    migrated = cat.read(streaming.EDGES_TABLE)
+    assert "bucket" in migrated.columns
+    table_dir = os.path.join(out, streaming.EDGES_TABLE)
+    assert any(e.startswith("bucket=") for e in os.listdir(table_dir))
+    got = {
+        (r["conv_id"], r["turn_idx"], r["obj"]) for r in migrated.collect()
+    }
+    assert got == {
+        (r["conv_id"], r["turn_idx"], r["obj"])
+        for r in extract.call_triples(tiny_transcripts).collect()
+    }
