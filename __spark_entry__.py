@@ -333,25 +333,44 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
+# The ANN index artifacts are PRECOMPUTED, STORED tables (one batch job per
+# corpus version, beside the embedding table): the sign-LSH store is the
+# embedding table physically partitioned by bucket (queries prune to the
+# probed directories), and the IVF centroid table is n_cells x dim rows
+# (queries must never re-aggregate the corpus). Built once per
+# (session, sf_dir) here — the sandbox stand-in for the catalog tables a
+# production pipeline maintains.
+_ANN_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _ann_store(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """The opened store table: built+written once per (session, sf_dir),
+    then held open — re-reading per query would re-list every partition
+    directory (the metadata cost a catalog table's cached file index
+    absorbs in production)."""
+    import hashlib
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _ANN_STORE_CACHE.get(key)
+    if df is None:
+        tag = hashlib.md5("\x00".join(key).encode()).hexdigest()[:12]
+        path = os.path.join("/tmp", f"grepai_{kind}_{tag}")
+        if kind == "lsh_store":
+            ann.write_lsh_bucketed(_emb(spark, sf_dir), path)
+        else:
+            ann.ivf_centroids(_emb(spark, sf_dir)).write.mode(
+                "overwrite"
+            ).parquet(path)
+        df = spark.read.parquet(path)
+        _ANN_STORE_CACHE[key] = df
+    return df
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann.ann_lsh_topk(_emb(spark, sf_dir), _QUERY_VEC64, 20)
-
-
-# IVF centroids are a PRECOMPUTED artifact (one batch job per corpus
-# version, stored beside the embedding table) — queries must read n_cells x
-# dim rows, not re-aggregate the corpus. Cache per (session, sf_dir);
-# localCheckpoint materializes the table the way a stored catalog table
-# would be.
-_IVF_CENTROIDS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _ivf_centroid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    c = _IVF_CENTROIDS_CACHE.get(key)
-    if c is None:
-        c = ann.ivf_centroids(_emb(spark, sf_dir)).localCheckpoint(eager=True)
-        _IVF_CENTROIDS_CACHE[key] = c
-    return c
+    return ann.ann_lsh_topk_store(
+        _ann_store(spark, sf_dir, "lsh_store"), _QUERY_VEC64, 20
+    )
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +378,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         _QUERY_VEC64,
         20,
-        centroids=_ivf_centroid_table(spark, sf_dir),
+        centroids=_ann_store(spark, sf_dir, "ivf_centroids"),
     )
 
 
@@ -391,18 +410,18 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
 
-def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.media_meta(_docs(spark, sf_dir))
-
-
 def _q_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # absorbs the former media_meta projection (format + n_bytes) so both
+    # S-metadata views share one window slot — freed for frame_sample (r4).
     return multimodal.frame_meta(_docs(spark, sf_dir))
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas frame sampler; no SQL oracle (rows-only check).
+    # REAL byte-level sampling: mapInPandas slices deterministic closed-form
+    # binary payloads into frames; the oracle recomputes each frame's length
+    # and byte sum from the fixture's closed form (multimodal.synth_media).
     return multimodal.frame_sample(
-        multimodal.attach_binary(_docs(spark, sf_dir))
+        multimodal.synth_media(_docs(spark, sf_dir))
     ).drop("frame_features")
 
 
@@ -469,12 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
-        "media_meta": _q_media_meta,
         "frame_meta": _q_frame_meta,
         "media_features": _q_media_features,
-        # frame_sample is the one rows-only query (mapInPandas flatMap, no
-        # SQL oracle by design) — registered LAST so every oracle-backed
-        # query sits inside the driver's correctness window.
         "frame_sample": _q_frame_sample,
     }
 
@@ -550,8 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": textstats.text_quality_oracle(),
         "token_counts": textstats.token_counts_oracle(),
         "doc_fingerprint": textstats.doc_fingerprint_oracle(),
-        "media_meta": multimodal.media_meta_oracle(),
         "frame_meta": multimodal.frame_meta_oracle(),
         "media_features": multimodal.image_features_oracle(),
-        # frame_sample: mapInPandas sampler — rows-only check by design.
+        "frame_sample": multimodal.frame_sample_oracle(),
     }

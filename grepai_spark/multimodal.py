@@ -184,9 +184,45 @@ FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", LongType()),
+        StructField("n_frame_bytes", LongType()),
+        StructField("byte_sum", LongType()),
         StructField("frame_features", ArrayType(FloatType())),
     ]
 )
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): deterministic closed-form binary payload per doc —
+    the frame-sampling fixture (the audio/video analog of synth_ppm). Length
+    and every byte are functions of doc_id alone, so a SQL oracle recomputes
+    per-frame integer stats without touching bytes:
+
+        L = 64 * (1 + doc_id % 7) + (doc_id % 53)
+        payload[i] = (doc_id * 11 + i * 17) % 256
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 * (1 + d % 7) + (d % 53)
+                payloads.append(
+                    ((d * 11 + np.arange(n, dtype=np.int64) * 17) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
 
 
 def frame_sample(
@@ -197,14 +233,16 @@ def frame_sample(
 ) -> DataFrame:
     """Frame-sampling plumbing: treat the payload as fixed-size frames (the
     video/audio analog), keep every `every`-th frame, and emit per-frame
-    byte features. mapInPandas — one Python call per Arrow batch; output is
-    a flatMap (multiple frame rows per doc), the same shape a real
-    video-frame sampler produces. A real decoder swaps in at the same seam
-    as extract_features."""
+    features: integer byte stats (length + byte sum — exactly recomputable
+    by a SQL oracle when the payload has a closed form, see synth_media) and
+    the float histogram a real feature tower would consume. mapInPandas —
+    one Python call per Arrow batch; output is a flatMap (multiple frame
+    rows per doc), the same shape a real video-frame sampler produces. A
+    real decoder swaps in at the same seam as extract_features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, feats = [], [], []
+            ids, idxs, lens, sums, feats = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload or b"", dtype=np.uint8)
                 n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
@@ -216,6 +254,8 @@ def frame_sample(
                     s = hist.sum()
                     ids.append(doc_id)
                     idxs.append(fi)
+                    lens.append(len(frame))
+                    sums.append(int(frame.sum(dtype=np.int64)))
                     feats.append(
                         (hist / s).astype(np.float32).tolist()
                         if s
@@ -225,6 +265,8 @@ def frame_sample(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(lens, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
                     "frame_features": feats,
                 }
             )
@@ -234,13 +276,43 @@ def frame_sample(
     )
 
 
+def frame_sample_oracle(
+    frame_bytes: int = FRAME_BYTES, every: int = FRAME_SAMPLE_EVERY
+) -> str:
+    """Closed-form recomputation of frame_sample's integer stats over the
+    synth_media fixture — an INDEPENDENT check that the byte-level sampler
+    (real numpy over real binary payloads) slices frames correctly."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 64 * (1 + doc_id % 7) + (doc_id % 53) AS L FROM documents
+),
+frames AS (
+  SELECT doc_id, L,
+         unnest(range(0, CAST(ceil(L / CAST({frame_bytes} AS DOUBLE)) AS BIGINT), {every})) AS fi
+  FROM dims
+),
+b AS (
+  SELECT doc_id, fi,
+         unnest(range(fi * {frame_bytes}, least((fi + 1) * {frame_bytes}, L))) AS i
+  FROM frames
+)
+SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_frame_bytes,
+       CAST(sum((doc_id * 11 + i * 17) % 256) AS BIGINT) AS byte_sum
+FROM b
+GROUP BY doc_id, fi
+""".strip()
+
+
 def frame_meta(
     docs: DataFrame,
     frame_bytes: int = FRAME_BYTES,
     every: int = FRAME_SAMPLE_EVERY,
 ) -> DataFrame:
-    """Oracle-checkable frame accounting: total and sampled frame counts per
-    doc, derivable from byte length alone (JVM-side, no Python)."""
+    """Oracle-checkable media + frame accounting per doc: the typed-metadata
+    projection (format, byte length — the former media_meta columns, ref
+    scanner.go:100-112) plus total and sampled frame counts, all derivable
+    from byte length alone (JVM-side, no Python)."""
     m = attach_binary(docs)
     n_frames = F.ceil(F.col("media_meta.n_bytes") / F.lit(frame_bytes)).cast(
         "long"
@@ -248,6 +320,7 @@ def frame_meta(
     sampled = F.ceil(n_frames / F.lit(every)).cast("long")
     return m.select(
         "doc_id",
+        F.col("media_meta.format").alias("format"),
         F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
         n_frames.alias("n_frames"),
         sampled.alias("n_sampled"),
@@ -259,6 +332,7 @@ def frame_meta_oracle(
 ) -> str:
     return f"""
 SELECT doc_id,
+       'text/plain' AS format,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(ceil(octet_length(encode(text)) / CAST({frame_bytes} AS DOUBLE)) AS BIGINT) AS n_frames,
        CAST(ceil(ceil(octet_length(encode(text)) / CAST({frame_bytes} AS DOUBLE)) / CAST({every} AS DOUBLE)) AS BIGINT) AS n_sampled
