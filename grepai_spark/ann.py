@@ -38,14 +38,19 @@ IVF_NPROBE = 2
 NEAR_DUP_CELL_CAP = 1000
 
 
-def planes(n_planes: int = N_PLANES, dim: int = EMBED_TABLE_DIM) -> list[list[float]]:
-    """Deterministic ±1 hyperplanes: sign of md5("p:d"). Literal constants, so
-    Spark and DuckDB agree bit-for-bit on every plane coefficient."""
+def planes(
+    n_planes: int = N_PLANES, dim: int = EMBED_TABLE_DIM, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign of md5("p:d") (seed 0, the original
+    set) or md5("s{seed}:p:d") (independent sets for OR-amplification).
+    Literal constants, so Spark and DuckDB agree bit-for-bit on every plane
+    coefficient."""
     out = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            key = f"{p}:{d}" if seed == 0 else f"s{seed}:{p}:{d}"
+            h = hashlib.md5(key.encode()).hexdigest()
             row.append(1.0 if h[0] >= "8" else -1.0)
         out.append(row)
     return out
@@ -77,9 +82,10 @@ def bucket_sql(
     n_planes: int = N_PLANES,
     dim: int = EMBED_TABLE_DIM,
     dialect: str = "spark",
+    seed: int = 0,
 ) -> str:
     """Sign-LSH bucket id as an n_planes-char '01' string."""
-    ps = planes(n_planes, dim)
+    ps = planes(n_planes, dim, seed)
     bits = [
         f"CASE WHEN {dot_sql(vec_col, p, dialect)} >= 0 THEN '1' ELSE '0' END"
         for p in ps
@@ -99,6 +105,20 @@ def py_bucket(vec: list[float], n_planes: int = N_PLANES) -> str:
             acc += float(x) * y
         out.append("1" if acc >= 0 else "0")
     return "".join(out)
+
+
+def probe_buckets(qb: str, hamming: int = 1) -> list[str]:
+    """Multi-probe bucket list: the query's bucket plus every bucket within
+    the given Hamming distance (flip each bit once for hamming=1 — 9 of 256
+    buckets at 8 planes). A query vector near a hyperplane hashes a bit
+    differently from its neighbors across it; probing the 1-flip buckets
+    recovers exactly those misses, the same trick multi-probe LSH and
+    pgvector's ivfflat `probes > 1` use."""
+    out = [qb]
+    if hamming >= 1:
+        for i in range(len(qb)):
+            out.append(qb[:i] + ("0" if qb[i] == "1" else "1") + qb[i + 1 :])
+    return out
 
 
 def cosine_vs_query_sql(
@@ -132,18 +152,22 @@ def ann_lsh_topk(
     n_planes: int = N_PLANES,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hamming: int = 1,
 ) -> DataFrame:
-    """Top-k among vectors in the query's sign-LSH bucket.
+    """Top-k among vectors in the query's sign-LSH bucket neighborhood.
 
-    The bucket predicate is a plain filter -> at scale, bucket becomes a
-    partition column and this is partition pruning: the scan reads
-    ~1/2^n_planes of the corpus. Exact cosine re-ranks inside the bucket.
+    Multi-probe: the query bucket plus its Hamming-`hamming` neighbors (9 of
+    2^8 at the defaults) — a near-hyperplane query no longer misses its
+    across-the-plane neighbors. The bucket predicate is a plain IN filter ->
+    at scale, bucket becomes a partition column and this is partition
+    pruning: the scan reads ~(1+n_planes)/2^n_planes of the corpus. Exact
+    cosine re-ranks inside the probed buckets.
     """
-    qb = py_bucket(query_vec, n_planes)
+    qbs = probe_buckets(py_bucket(query_vec, n_planes), hamming)
     bucket = F.expr(bucket_sql(vec_col, n_planes))
     cos = F.expr(cosine_vs_query_sql(vec_col, query_vec))
     return (
-        emb.where(bucket == F.lit(qb))
+        emb.where(bucket.isin(qbs))
         .withColumn("score", F.round(cos, 6))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -160,10 +184,44 @@ def write_lsh_bucketed(
     """Materialize the embedding table PARTITIONED BY its sign-LSH bucket —
     the batch job that turns ann_lsh_topk's per-row bucket expression into a
     physical partition column. One pass over the corpus, one write; queries
-    then touch ~1/2^n_planes of the files (see ann_lsh_topk_bucketed)."""
-    emb.withColumn("bucket", F.expr(bucket_sql(vec_col, n_planes))).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(path)
+    then touch ~(1+n_planes)/2^n_planes of the files (multi-probe, see
+    ann_lsh_topk_bucketed). The repartition on bucket keeps file count =
+    O(buckets), not O(buckets x input-tasks) — without it every input task
+    writes a sliver into every bucket directory and the store degenerates
+    into 2^n_planes x tasks tiny files."""
+    emb.withColumn(
+        "bucket", F.expr(bucket_sql(vec_col, n_planes))
+    ).repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def ann_lsh_topk_store(
+    store: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = N_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hamming: int = 1,
+) -> DataFrame:
+    """Top-k over an already-opened bucket-partitioned embedding store: the
+    multi-probe bucket list is a PARTITION filter (directory pruning — the
+    scan never opens files outside the probed buckets), then exact cosine
+    re-ranks inside. `store` should be opened once per store version (a
+    catalog table at scale — the metastore caches the partition/file index;
+    re-listing 2^n_planes directories per query is pure metadata overhead).
+    Results are identical to ann_lsh_topk by construction (same planes,
+    same bucket function, same probe set)."""
+    qbs = probe_buckets(py_bucket(query_vec, n_planes), hamming)
+    cos = F.expr(cosine_vs_query_sql(vec_col, query_vec))
+    return (
+        store.where(F.col("bucket").isin(qbs))
+        .withColumn("score", F.round(cos, 6))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )
 
 
 def ann_lsh_topk_bucketed(
@@ -174,21 +232,13 @@ def ann_lsh_topk_bucketed(
     n_planes: int = N_PLANES,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hamming: int = 1,
 ) -> DataFrame:
-    """Top-k over a bucket-partitioned embedding store: the bucket predicate
-    is a PARTITION filter (directory pruning — the scan never opens files
-    outside the query's bucket), then exact cosine re-ranks inside. This is
-    the physical realization of ann_lsh_topk's scale story; results are
-    identical by construction (same planes, same bucket function)."""
-    qb = py_bucket(query_vec, n_planes)
-    cos = F.expr(cosine_vs_query_sql(vec_col, query_vec))
-    return (
-        spark.read.parquet(path)
-        .where(F.col("bucket") == F.lit(qb))
-        .withColumn("score", F.round(cos, 6))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
-        .select(id_col, "score")
+    """ann_lsh_topk_store over a parquet path (opens the store per call —
+    fine for one-off queries; query services hold the store open)."""
+    return ann_lsh_topk_store(
+        spark.read.parquet(path), query_vec, k, n_planes, vec_col, id_col,
+        hamming,
     )
 
 
@@ -305,80 +355,124 @@ def near_dup_cosine_pairs(
 
 
 NEAR_DUP_LSH_PLANES = 4  # fewer planes than top-k search: recall over pruning
+NEAR_DUP_LSH_SETS = 16  # OR-amplification: union of independent plane sets
 
 
 def near_dup_lsh_pairs(
     emb: DataFrame,
     threshold: float = NEAR_DUP_COS,
     n_planes: int = NEAR_DUP_LSH_PLANES,
+    n_sets: int = NEAR_DUP_LSH_SETS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_cap: int = NEAR_DUP_CELL_CAP,
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT a precomputed coarse-cell column:
-    bucket = sign-LSH signature of the vector itself.
+    bucket = sign-LSH signature of the vector, OR-amplified across `n_sets`
+    INDEPENDENT plane sets (seeded plane derivation), exactly like MinHash
+    banding (dedup.minhash_lsh_pairs): two vectors at angle theta collide in
+    at least one set with probability 1 - (1 - (1-theta/pi)^n_planes)^n_sets
+    — >= 0.93 at the cos-0.4 boundary at the defaults (measured 0.95 on the
+    sf0.01 fixture, tests/test_traindata.py), vs ~0.33 for the single-set
+    variant r3 shipped (its known recall gap).
 
-    Two vectors at angle theta land in the same bucket with probability
-    (1 - theta/pi)^n_planes — fewer planes = higher recall, bigger buckets
-    (4 planes: cos 0.4 -> ~33% per-bucket recall; production runs several
-    plane sets and unions, like MinHash bands). Same deterministic
-    bucket-cap guard as every other pair generator; exact cosine verifies.
+    Plan shape (one pass, not n_sets unioned self-joins): every vector's
+    n_sets bucket signatures are computed in ONE projection and posexploded
+    to (set_id, bkt) rows, so candidate generation is a single window cap +
+    a single equi-join on (set_id, bkt) — one shuffle each regardless of
+    n_sets. Vectors ride along into the join and the exact cosine check runs
+    INSIDE the join stage (no further shuffle); only the ~threshold-passing
+    survivors reach the final distinct. A pair colliding in r sets pays r
+    cosine folds, but cross-set duplicate collisions are rare (~q x n_sets
+    with q = per-set collision prob), and deduping candidates first would
+    cost two extra id-joins over the full candidate volume — measured 4x
+    slower at sf0.1. Each (set, bucket) carries the same deterministic cap
+    guard as every other pair generator here.
     """
+    sigs = F.array(
+        *[F.expr(bucket_sql(vec_col, n_planes, seed=s)) for s in range(n_sets)]
+    )
+    # the vector's norm is computed ONCE per (vector, set) row here — not
+    # per candidate pair in the join below, where it would be the dominant
+    # redundant work (each vector meets ~bucket_size partners)
     b = emb.select(
         F.col(id_col).alias("the_id"),
         F.col(vec_col).alias("v"),
-        F.expr(bucket_sql(vec_col, n_planes)).alias("bkt"),
+        F.sqrt(F.expr(dot_sql_self(vec_col))).alias("nv"),
+        F.posexplode(sigs).alias("set_id", "bkt"),
     )
-    w = Window.partitionBy("bkt").orderBy("the_id")
+    w = Window.partitionBy("set_id", "bkt").orderBy("the_id")
     b = (
         b.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= bucket_cap)
         .drop("_rn")
     )
     a = b.select(
-        F.col("bkt"), F.col("the_id").alias("a_id"), F.col("v").alias("va")
+        "set_id",
+        "bkt",
+        F.col("the_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     c = b.select(
-        F.col("bkt"), F.col("the_id").alias("b_id"), F.col("v").alias("vb")
+        "set_id",
+        "bkt",
+        F.col("the_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     dot = F.expr(
         "aggregate(zip_with(CAST(va AS array<double>), CAST(vb AS array<double>),"
         " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    cos = dot / (F.sqrt(F.expr(dot_sql_self("va"))) * F.sqrt(F.expr(dot_sql_self("vb"))))
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
-        a.join(c, "bkt")
+        a.join(c, ["set_id", "bkt"])
         .where(F.col("a_id") < F.col("b_id"))
         .withColumn("_cos", cos)
         .where(F.col("_cos") >= F.lit(threshold))
-        .select("a_id", "b_id", F.col("bkt"), F.round("_cos", 6).alias("cos"))
+        .select("a_id", "b_id", F.round("_cos", 6).alias("cos"))
+        .distinct()
     )
 
 
 def near_dup_lsh_pairs_oracle(
     threshold: float = NEAR_DUP_COS,
     n_planes: int = NEAR_DUP_LSH_PLANES,
+    n_sets: int = NEAR_DUP_LSH_SETS,
     bucket_cap: int = NEAR_DUP_CELL_CAP,
 ) -> str:
-    bucket = bucket_sql("embedding", n_planes, dialect="duckdb")
+    assign = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS set_id, vec_id,"
+        f" ({bucket_sql('embedding', n_planes, dialect='duckdb', seed=s)}) AS bkt"
+        f" FROM embeddings"
+        for s in range(n_sets)
+    )
     dotp = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-    na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    nb = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
-    cos = f"({dotp}) / ({na} * {nb})"
+    cos = f"({dotp}) / (a.nv * b.nv)"
     return f"""
-WITH bkts AS (
-  SELECT vec_id, embedding, ({bucket}) AS bkt FROM embeddings
+WITH assign AS (
+{assign}
 ),
 capped AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn
-    FROM bkts
+  SELECT set_id, vec_id, bkt FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY set_id, bkt ORDER BY vec_id
+    ) AS rn FROM assign
   ) x WHERE rn <= {bucket_cap}
+),
+normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nv
+  FROM embeddings
 )
-SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bkt,
-       round({cos}, 6) AS cos
-FROM capped a
-JOIN capped b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+SELECT DISTINCT ca.vec_id AS a_id, cb.vec_id AS b_id, round({cos}, 6) AS cos
+FROM capped ca
+JOIN capped cb ON ca.set_id = cb.set_id AND ca.bkt = cb.bkt
+              AND ca.vec_id < cb.vec_id
+JOIN normed a ON a.vec_id = ca.vec_id
+JOIN normed b ON b.vec_id = cb.vec_id
 WHERE {cos} >= {threshold}
 """.strip()
 
@@ -388,15 +482,16 @@ WHERE {cos} >= {threshold}
 # ---------------------------------------------------------------------------
 
 def ann_lsh_topk_oracle(
-    query_vec: list[float], k: int, n_planes: int = N_PLANES
+    query_vec: list[float], k: int, n_planes: int = N_PLANES, hamming: int = 1
 ) -> str:
-    qb = py_bucket(query_vec, n_planes)
+    qbs = probe_buckets(py_bucket(query_vec, n_planes), hamming)
+    in_list = ", ".join(f"'{b}'" for b in qbs)
     bucket = bucket_sql("embedding", n_planes, dialect="duckdb")
     cos = cosine_vs_query_sql("embedding", query_vec, "duckdb")
     return f"""
 SELECT vec_id, round({cos}, 6) AS score
 FROM embeddings
-WHERE ({bucket}) = '{qb}'
+WHERE ({bucket}) IN ({in_list})
 ORDER BY score DESC, vec_id ASC
 LIMIT {k}
 """.strip()

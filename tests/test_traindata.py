@@ -412,3 +412,55 @@ def test_ann_lsh_bucketed_prunes_partitions(spark, tmp_path):
 
     pf = _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
     assert pf, plan
+
+
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+def test_near_dup_lsh_recall_vs_brute_force(spark):
+    """VERDICT r3 #4 acceptance: the OR-amplified LSH (independent seeded
+    plane sets, unioned like MinHash bands) recovers >= 0.9 of the
+    brute-force cosine near-dup pairs on the sf0.01 embeddings — the
+    single-set variant measured ~0.71 here."""
+    import pyarrow.parquet as pq
+
+    emb01 = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    got = {
+        tuple(sorted((r["a_id"], r["b_id"])))
+        for r in ann.near_dup_lsh_pairs(emb01).collect()
+    }
+    t = pq.read_table(f"{SF01_DIR}/embeddings.parquet").to_pandas()
+    V = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    nrm = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = nrm @ nrm.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = S[iu] >= ann.NEAR_DUP_COS
+    truth = {
+        tuple(sorted((int(a), int(b))))
+        for a, b in zip(ids[iu[0][mask]], ids[iu[1][mask]])
+    }
+    assert len(truth) >= 20, "fixture must contain near-dup pairs"
+    assert got <= truth  # exact verify: no false positives ever
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(got & truth)}/{len(truth)})"
+
+
+def test_ann_multiprobe_beats_single_bucket(spark, emb):
+    """VERDICT r3 #5 acceptance: Hamming-1 multi-probe recovers strictly
+    more of the exact top-20 (and a fuller candidate pool) than the
+    single-bucket probe — a query near a hyperplane no longer loses its
+    across-the-plane neighbors."""
+    from grepai_spark.search import cosine_topk
+
+    exact = {r["vec_id"] for r in cosine_topk(emb, QV, 20).collect()}
+    single = {
+        r["vec_id"] for r in ann.ann_lsh_topk(emb, QV, 20, hamming=0).collect()
+    }
+    multi = {
+        r["vec_id"] for r in ann.ann_lsh_topk(emb, QV, 20, hamming=1).collect()
+    }
+    assert len(multi) > len(single)
+    assert len(multi & exact) > len(single & exact)
+    # the bucketed-store path returns the identical multi-probe result
+    # (asserted in test_ann_lsh_bucketed_prunes_partitions)
