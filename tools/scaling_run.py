@@ -51,10 +51,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARK_BEGIN = "<!-- SCALING:BEGIN -->"
 MARK_END = "<!-- SCALING:END -->"
 # Min parallel efficiency of the bracketing/mid probes for an invocation to
-# count as clean. Calibration (r3 session, tools/scaling_history.jsonl):
-# invocations whose worst probe read ~0.77 measured 0.61-0.71 efficiency,
-# while >= 0.88 probes measured 0.88 — 0.75 admitted partially-throttled
-# windows, so the gate sits above the degraded band.
+# count as clean. PRE-REGISTERED at 0.85 as of round 4 (ADVICE r3): the
+# value was calibrated once on the r3 history (worst-probe ~0.77 windows
+# measured 0.61-0.71 efficiency; >= 0.88 probes measured >= 0.88) and is
+# now FIXED — it must not be re-tuned against the history it screens.
 PROBE_CLEAN = 0.85
 MIN_CLEAN = 3  # clean invocations required before the verdict counts
 HIST_PATH = os.path.join(REPO, "tools", "scaling_history.jsonl")
@@ -121,14 +121,27 @@ def probe_eff(hi: int) -> float:
     return round(best, 3)
 
 
-def build_zip(path: str) -> None:
+def build_zip(path: str) -> str:
+    """Package the measured code; returns its CONTENT hash. The verdict is
+    keyed on this, not the git commit: two commits that do not touch
+    grepai_spark (docs, bench records) measure IDENTICAL code, so a
+    docs-only commit after a measurement session must not reset the
+    verdict to PENDING (ADVICE r3) — while any change to the measured
+    package still does."""
+    h = hashlib.sha256()
     with zipfile.ZipFile(path, "w") as z:
         pkg = os.path.join(REPO, "grepai_spark")
-        for root, _, files in os.walk(pkg):
-            for f in files:
+        for root, dirs, files in os.walk(pkg):
+            dirs.sort()
+            for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, REPO))
+                    rel = os.path.relpath(full, REPO)
+                    z.write(full, rel)
+                    h.update(rel.encode())
+                    with open(full, "rb") as fh:
+                        h.update(fh.read())
+    return h.hexdigest()[:12]
 
 
 def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
@@ -166,14 +179,15 @@ def run_invocation(
     hi: int,
     zip_path: str,
     commit: str,
+    pkg_hash: str,
 ) -> dict:
     """One bracketed measurement: probe, interleaved lo/hi submits with
     pre-burst cooldowns (min wall per level), probe.
 
-    `commit` is captured ONCE at harness start (when the --py-files zip is
-    built): it identifies the measured code, and re-reading HEAD per entry
-    would let an unrelated commit landing mid-run split one session's
-    entries across keys."""
+    `commit` (display) and `pkg_hash` (verdict key) are captured ONCE at
+    harness start when the --py-files zip is built: they identify the
+    measured code, and re-reading HEAD per entry would let an unrelated
+    commit landing mid-run split one session's entries across keys."""
     eff_before = probe_eff(hi)
     eff_mid = 1.0
     runs: dict[int, dict] = {}
@@ -197,6 +211,7 @@ def run_invocation(
     r_lo, r_hi = runs[lo], runs[hi]
     return {
         "commit": commit,
+        "pkg_hash": pkg_hash,
         "sf_dir": sf_dir,
         "replicate": replicate,
         "lo": lo,
@@ -233,15 +248,17 @@ def is_clean(h: dict) -> bool:
 
 
 def verdict(history: list[dict], key: dict) -> dict:
-    """Median-of-clean verdict for the current commit + configuration."""
+    """Median-of-clean verdict for the current PACKAGE CONTENT + sf/lo/hi
+    configuration. All clean invocations of this exact code count, at every
+    replicate (ADVICE r3: no post-hoc replicate exclusion) — a docs-only
+    commit does not reset the verdict, any grepai_spark change does."""
     cur = [
         h
         for h in history
-        if h.get("commit") == key["commit"]
+        if h.get("pkg_hash") == key["pkg_hash"]
         and h.get("sf_dir") == key["sf_dir"]
         and h.get("lo") == key["lo"]
         and h.get("hi") == key["hi"]
-        and h.get("replicate") == key["replicate"]
     ]
     clean = [h for h in cur if is_clean(h)]
     med = round(statistics.median(h["eff"] for h in clean), 3) if clean else None
@@ -269,6 +286,9 @@ def write_baseline_block(history: list[dict], key: dict, v: dict) -> None:
         f"| {'yes' if is_clean(h) else 'NO'} |"
         for h in v["invocations"]
     ) or "| (none yet) | | | | | |"
+    key_note = (
+        f"package content hash `{key['pkg_hash']}` (commit `{key['commit']}`)"
+    )
     prior = [h for h in history if h not in v["invocations"]]
     prior_rows = "\n".join(
         f"| {h.get('commit', '-')} | {h.get('n_turns', '-')} "
@@ -288,12 +308,15 @@ spark-submit --py-files job (tools/scaling_job.py): full KG pipeline
 parallelism levels — the sandbox proxy for N vs 4N executors. Each
 invocation takes min wall over 3 hi / 2 lo reps with pre-burst cooldowns
 and carries before/mid/after CPU probes; an invocation is CLEAN iff all
-three show >= {PROBE_CLEAN} parallel efficiency (the shared host throttles sustained
-wide bursts in multi-minute windows — PERF.md §10-11). The verdict needs
->= {MIN_CLEAN} clean invocations, median >= 0.8, and the last two clean
-invocations both >= 0.8.
+three show >= {PROBE_CLEAN} parallel efficiency (PRE-REGISTERED gate, fixed since
+round 3 — the shared host throttles sustained wide bursts in multi-minute
+windows, PERF.md §10-11). The verdict needs >= {MIN_CLEAN} clean invocations,
+median >= 0.8, and the last two clean invocations both >= 0.8. Verdict
+rows are keyed by the MEASURED PACKAGE CONTENT (every clean invocation of
+this exact grepai_spark code counts, at any replicate), so a docs-only
+commit cannot reset the verdict and a code change always does.
 
-Current commit `{key['commit']}` invocations (local[{lo}]=N vs local[{hi}]=4N):
+Measured code: {key_note}; invocations (local[{lo}]=N vs local[{hi}]=4N):
 
 | n_turns | wall local[{lo}] (s) | wall local[{hi}] (s) | efficiency | probes | clean |
 |---|---|---|---|---|---|
@@ -335,9 +358,10 @@ def main() -> None:
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
     zip_path = "/tmp/grepai_spark_pyfiles.zip"
-    build_zip(zip_path)
+    pkg_hash = build_zip(zip_path)
     key = {
         "commit": git_commit(),
+        "pkg_hash": pkg_hash,
         "sf_dir": sf_dir,
         "replicate": replicate,
         "lo": lo,
@@ -345,7 +369,7 @@ def main() -> None:
     }
     for i in range(invocations):
         entry = run_invocation(
-            sf_dir, replicate, lo, hi, zip_path, key["commit"]
+            sf_dir, replicate, lo, hi, zip_path, key["commit"], pkg_hash
         )
         with open(HIST_PATH, "a") as f:
             f.write(json.dumps(entry) + "\n")
