@@ -77,7 +77,11 @@ def main() -> None:
     ]
     headline = [q for q in headline if q in qs]
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # three spread-out passes: the host's throttle windows span several
+    # minutes, so both passes of a min-of-2 can land inside one window
+    # (measured 45 s vs ~7 s steady for near_dup_lsh on a bad day) — a
+    # third pass gives each query one more chance at a clean window
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     # Warm-up: JVM + Arrow + Python worker pool, not measured.
     _force(qs["call_triples"](spark, sf_dir).limit(1000))
