@@ -104,13 +104,22 @@ def main() -> None:
     # query): the host throttles in multi-minute windows, and consecutive
     # repeats of one query land in the same window — min over spread-out
     # passes is the steady-state estimate min-of-2-adjacent is not.
-    for _ in range(repeats):
+    # Budget gate: a pass beyond the first only starts while total measured
+    # wall is under SPARK_GRAFT_BENCH_BUDGET seconds, so a throttled day
+    # costs at most ~one extra pass instead of tripling the bench wall.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    passes_run = 0
+    bench_t0 = time.perf_counter()
+    for i in range(repeats):
+        if i > 0 and time.perf_counter() - bench_t0 > budget:
+            break
         for name in headline:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             wall = time.perf_counter() - t0
             if wall < timings.get(name, float("inf")):
                 timings[name] = wall
+        passes_run += 1
     timings = {k: round(v, 3) for k, v in timings.items()}
     probe_end = probe()
 
@@ -138,6 +147,7 @@ def main() -> None:
                 "pipeline_sec": pipeline_sec,
                 "probe_sec_start": probe_start,
                 "probe_sec_end": probe_end,
+                "passes": passes_run,
             }
         )
     )
