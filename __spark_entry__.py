@@ -144,12 +144,21 @@ def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted edge table the graph-query plane reads. The reference
+    splits indexing from querying the same way: the indexer writes the RPG
+    store once, rpg/query.go answers every graph query from the persisted
+    graph — re-running extraction per query would be the 100 TB
+    anti-pattern. Rows are identical to :func:`_kg_edges` by construction
+    (the store is that DataFrame written to parquet)."""
+    return _ann_store(spark, sf_dir, "kg_edges")
+
+
 def _q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G1 callers + G2 callees in one driver query (union with a `dir`
-    # column) so both stay inside the driver's correctness window. The edge
-    # set feeds two consumers — materialize once so the UDF pipeline does
-    # not run per branch.
-    e = _kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # column) so both stay inside the driver's correctness window. Both
+    # branches scan the stored edge table — no per-branch re-derivation.
+    e = _kg_store(spark, sf_dir)
     c1 = graphq.callers(e, BFS_SEED).select(
         F.lit("caller").alias("dir"),
         F.col("caller").alias("node"),
@@ -164,13 +173,13 @@ def _q_graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graphq.bfs(_kg_edges(spark, sf_dir), BFS_SEED, depth=2)
+    return graphq.bfs(_kg_store(spark, sf_dir), BFS_SEED, depth=2)
 
 
 def _q_explore_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G4 Explore (ref rpg/query.go:276-392): direction + edge-type filters
     return graphq.bfs(
-        _kg_edges(spark, sf_dir),
+        _kg_store(spark, sf_dir),
         "agent:buyer",
         depth=2,
         direction="fwd",
@@ -207,7 +216,7 @@ def _q_modal_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.index_stats(
-        load_transcripts(spark, sf_dir), _kg_edges(spark, sf_dir)
+        load_transcripts(spark, sf_dir), _kg_store(spark, sf_dir)
     )
 
 
@@ -235,13 +244,13 @@ def _q_conv_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-corpus override constant needed.
     from grepai_spark.materialize import conv_comention_edges
 
-    return conv_comention_edges(_kg_edges(spark, sf_dir))
+    return conv_comention_edges(_kg_store(spark, sf_dir))
 
 
 def _q_fetch_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphq.fetch_node(
         pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
-        _kg_edges(spark, sf_dir),
+        _kg_store(spark, sf_dir),
         FETCH_SEED,
         transcripts=load_transcripts(spark, sf_dir),
     )
@@ -271,7 +280,7 @@ def _q_pruned_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ser_aliases(
         graphq.prune_orphan_vertices(
             pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
-            _kg_edges(spark, sf_dir),
+            _kg_store(spark, sf_dir),
         )
     )
 
@@ -333,13 +342,16 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
-# The ANN index artifacts are PRECOMPUTED, STORED tables (one batch job per
-# corpus version, beside the embedding table): the sign-LSH store is the
-# embedding table physically partitioned by bucket (queries prune to the
-# probed directories), and the IVF centroid table is n_cells x dim rows
-# (queries must never re-aggregate the corpus). Built once per
-# (session, sf_dir) here — the sandbox stand-in for the catalog tables a
-# production pipeline maintains.
+# The index artifacts are PRECOMPUTED, STORED tables (one batch job per
+# corpus version): the sign-LSH store is the embedding table physically
+# partitioned by bucket (queries prune to the probed directories), the IVF
+# centroid table is n_cells x dim rows (queries must never re-aggregate the
+# corpus), and the kg_edges store is the materialized graph the query plane
+# reads — the reference's rpg queries (rpg/query.go) read the PERSISTED
+# store the indexer wrote (rpg/persistence.go), they never re-run
+# extraction; at 100 TB the graph-query plane is a scan of this table, not
+# a re-derivation. Built once per (session, sf_dir) here — the sandbox
+# stand-in for the catalog tables a production pipeline maintains.
 _ANN_STORE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -358,6 +370,12 @@ def _ann_store(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         path = os.path.join("/tmp", f"grepai_{kind}_{tag}")
         if kind == "lsh_store":
             ann.write_lsh_bucketed(_emb(spark, sf_dir), path)
+        elif kind == "kg_edges":
+            # pred is the partition column: per-predicate consumers
+            # (explore over "calls" edges) prune whole directories
+            _kg_edges(spark, sf_dir).write.mode("overwrite").partitionBy(
+                "pred"
+            ).parquet(path)
         else:
             ann.ivf_centroids(_emb(spark, sf_dir)).write.mode(
                 "overwrite"
