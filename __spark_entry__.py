@@ -26,6 +26,7 @@ from grepai_spark import (
     pipeline,
     search,
     skew,
+    synth,
     textstats,
 )
 from grepai_spark.cc import canonical_map
@@ -101,19 +102,17 @@ def _q_co_invocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_with_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     return docs.join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return search.cosine_topk(emb, py_encode(SEARCH_QUERY), 20)
+    return search.cosine_topk(_emb(spark, sf_dir), py_encode(SEARCH_QUERY), 20)
 
 
 def _q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return search.text_search(docs, SEARCH_QUERY, 15)
+    return search.text_search(_docs(spark, sf_dir), SEARCH_QUERY, 15)
 
 
 def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,9 +302,18 @@ def _q_drift_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental-update stand-in the oracle reproduces.
     from grepai_spark.drift import drift_gated_placements
 
-    m = _q_mentions(spark, sf_dir)
+    # Detection is per-turn, so mentions(even turns) == mentions(all
+    # turns) filtered to even — ONE detector + labeling pass materialized
+    # here feeds both sides and all four aggregations (the stored-table
+    # shape production has anyway; see drift_gated_placements'
+    # materialize_inputs note).
+    from grepai_spark.drift import annotate_mentions
+
+    m = annotate_mentions(_q_mentions(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     old = m.where(F.col("turn_idx") % 2 == 0)
-    return drift_gated_placements(old, m)
+    return drift_gated_placements(old, m, materialize_inputs=False)
 
 
 def _q_conv_tool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,11 +327,13 @@ def _q_conv_tool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # parallelism-floor scan: the single-row-group sf fixtures otherwise
+    # serialize every narrow per-doc stage (see synth.read_parallel)
+    return synth.read_parallel(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return synth.read_parallel(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,8 +33,10 @@ def feature_freq_topn(mentions: DataFrame, n: int = 10) -> DataFrame:
 def modal_cluster_per_conv(mentions: DataFrame) -> DataFrame:
     """Most frequent mention cluster (first normalized token) per conversation
     (A2) — rank-1 window with deterministic ties."""
-    clustered = mentions.withColumn(
-        "cluster", F.expr(first_token_sql("mention"))
+    clustered = (
+        mentions
+        if "cluster" in mentions.columns  # pre-annotated (drift hot path)
+        else mentions.withColumn("cluster", F.expr(first_token_sql("mention")))
     )
     counts = clustered.groupBy("conv_id", "cluster").agg(
         F.count("*").alias("cnt")

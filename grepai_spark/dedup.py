@@ -96,34 +96,38 @@ def minhash_sql(sh_col: str, seed: int, dialect: str = "spark") -> str:
 
 
 def simhash_sql(sh_col: str, bits: int = SIMHASH_BITS, dialect: str = "spark") -> str:
-    """32-bit SimHash over a shingle set as a '01' string.
+    """32-bit SimHash over a shingle set as a BIGINT (bit 1 = MSB).
 
     Bit j uses hex digit j of md5(shingle): digit >= '8' contributes +1, else
-    -1; the signature bit is the sign of the sum. Expressed with only
-    filter/size so both engines evaluate it identically.
+    -1; the signature bit is the sign of the sum. The signature is an INTEGER
+    on purpose: band keys become shift/mask field extractions and the exact
+    hamming check one bit_count(xor) per pair — the '01'-string formulation
+    this replaces paid a 32-branch CASE chain per candidate pair and carried
+    32-char strings through the pair shuffle (measured ~3 s of the sf0.1
+    query; the candidate stage dominates SimHash, not the signatures).
     """
     if dialect == "spark":
         bit = (
             f"IF(2 * size(filter({sh_col}, g -> substring(md5(g), j, 1) >= '8'))"
-            f" >= size({sh_col}), '1', '0')"
+            f" >= size({sh_col}), shiftleft(1L, {bits} - j), 0L)"
         )
-        return f"concat_ws('', transform(sequence(1, {bits}), j -> {bit}))"
+        return f"aggregate(sequence(1, {bits}), 0L, (acc, j) -> acc + {bit})"
     bit = (
         f"CASE WHEN 2 * len(list_filter({sh_col}, g -> substr(md5(g), j, 1) >= '8'))"
-        f" >= len({sh_col}) THEN '1' ELSE '0' END"
+        f" >= len({sh_col}) THEN (1::BIGINT << ({bits} - j)) ELSE 0 END"
     )
     return (
-        f"array_to_string(list_transform(range(1, {bits + 1}), j -> {bit}), '')"
+        f"CAST(list_sum(list_transform(range(1, {bits + 1}), j -> {bit}))"
+        f" AS BIGINT)"
     )
 
 
-def hamming_sql(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
-    """Hamming distance between two equal-length '01' strings (both dialects)."""
-    terms = " + ".join(
-        f"CASE WHEN substr({a}, {j}, 1) = substr({b}, {j}, 1) THEN 0 ELSE 1 END"
-        for j in range(1, bits + 1)
-    )
-    return f"({terms})"
+def hamming_sql(a: str, b: str, dialect: str = "spark") -> str:
+    """Hamming distance between two integer signatures: popcount of xor.
+    Only the xor spelling differs — `^` is exponentiation in DuckDB."""
+    if dialect == "spark":
+        return f"bit_count({a} ^ {b})"
+    return f"bit_count(xor({a}, {b}))"
 
 
 def set_jaccard_sql(a: str, b: str, dialect: str = "spark") -> str:
@@ -395,20 +399,27 @@ def simhash_pairs(
             for j in range(1, bits + 1)
         ],
     )
+    # integer signature (bit 1 = MSB) — see simhash_sql for why not a string
+    bit_terms = [
+        F.when(
+            2 * F.col(f"c{j}") >= F.col("n_sh"), F.lit(1 << (bits - j))
+        ).otherwise(F.lit(0))
+        for j in range(1, bits + 1)
+    ]
     sig = bit_sums.select(
         F.col(id_col),
-        F.concat(
-            *[
-                F.when(2 * F.col(f"c{j}") >= F.col("n_sh"), "1").otherwise("0")
-                for j in range(1, bits + 1)
-            ]
-        ).alias("sig"),
+        sum(bit_terms[1:], bit_terms[0]).cast("bigint").alias("sig"),
     )
     block = bits // bands
+    mask = (1 << block) - 1
+    # band key = band index tag + the band's bit field (shift/mask)
     keys = [
-        F.concat_ws(
-            "|", F.lit(str(bnd)), F.substring("sig", bnd * block + 1, block)
-        )
+        (
+            F.lit(bnd * (mask + 1))
+            + F.shiftright(F.col("sig"), bits - (bnd + 1) * block).bitwiseAND(
+                F.lit(mask)
+            )
+        ).cast("bigint")
         for bnd in range(bands)
     ]
     banded = sig.select(
@@ -439,7 +450,7 @@ def simhash_pairs(
         "'a_id', x.doc, 'b_id', y.doc, 'sig_a', x.s, 'sig_b', y.s)))),"
         " p -> p.a_id < p.b_id)"
     )
-    ham = F.expr(hamming_sql("sig_a", "sig_b", bits))
+    ham = F.expr(hamming_sql("sig_a", "sig_b"))
     return (
         grp.select(F.explode(pairs).alias("p"))
         .select("p.a_id", "p.b_id", "p.sig_a", "p.sig_b")
@@ -561,11 +572,12 @@ def simhash_pairs_oracle(
     n: int = SHINGLE_N,
 ) -> str:
     block = bits // bands
+    mask = (1 << block) - 1
     keys = ", ".join(
-        f"'{bnd}|' || substr(sig, {bnd * block + 1}, {block})"
+        f"{bnd * (mask + 1)} + ((sig >> {bits - (bnd + 1) * block}) & {mask})"
         for bnd in range(bands)
     )
-    ham = hamming_sql("a.sig", "b.sig", bits)
+    ham = hamming_sql("a.sig", "b.sig", "duckdb")
     return f"""
 WITH {_doc_shingles_cte(n)},
 sig AS (

@@ -19,15 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from grepai_spark.naming import verb_object_col_staged
+from grepai_spark.naming import first_token_sql, verb_object_col_staged
 
 DRIFT_THRESHOLD = 0.35  # ref: DefaultRPGDriftThreshold, config/config.go:48,440
+
+
+def annotate_mentions(mentions: DataFrame) -> DataFrame:
+    """Stage the two per-mention derivations drift needs — the verb-object
+    `feature` label and the `cluster` (first normalized token) — as columns
+    in ONE projection, so a caller can materialize the annotated frame once
+    and every downstream aggregation (feature words x modal cluster x both
+    sides) reads stored columns instead of re-running the labeling."""
+    return verb_object_col_staged(mentions, "mention").withColumn(
+        "cluster", F.expr(first_token_sql("mention"))
+    )
 
 
 def conv_feature_words(mentions: DataFrame) -> DataFrame:
     """(conv_id, words): the atomicWordSet analog (ref rpg/features.go:148-160)
     — distinct words of all verb-object feature labels per conversation."""
-    feats = verb_object_col_staged(mentions, "mention")
+    feats = (
+        mentions
+        if "feature" in mentions.columns  # pre-annotated (annotate_mentions)
+        else verb_object_col_staged(mentions, "mention")
+    )
     return feats.groupBy("conv_id").agg(
         F.array_sort(
             F.array_distinct(
@@ -78,15 +93,24 @@ def drift_gated_placements(
     Each side feeds TWO aggregations (feature words + modal cluster); Spark
     re-executes a shared subplan per consumer, so mention inputs that are
     themselves UDF-derived would run the detector twice per side. The
-    default localCheckpoint materializes each side once (plan audit: 4
-    detector executions -> 2). In production the old side is a STORED
-    table, so this only matters when both sides are derived in one query.
+    default path annotates each side (:func:`annotate_mentions`) and
+    localCheckpoints the ANNOTATED frame, so the detector AND the
+    verb-object labeling each run once per side and the four aggregations
+    read stored columns. In production the old side is a STORED table, so
+    this only matters when both sides are derived in one query; a caller
+    that derives old from new by a filter should annotate + checkpoint
+    once itself and pass ``materialize_inputs=False`` (one labeling pass
+    total — see the driver's drift query).
     """
     from grepai_spark.aggs import modal_cluster_per_conv
 
     if materialize_inputs:
-        old_mentions = old_mentions.localCheckpoint(eager=True)
-        new_mentions = new_mentions.localCheckpoint(eager=True)
+        old_mentions = annotate_mentions(old_mentions).localCheckpoint(
+            eager=True
+        )
+        new_mentions = annotate_mentions(new_mentions).localCheckpoint(
+            eager=True
+        )
 
     oc = modal_cluster_per_conv(old_mentions).select(
         "conv_id", F.col("cluster").alias("old_cluster")
