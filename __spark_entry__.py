@@ -54,19 +54,32 @@ def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_transcripts(spark, sf_dir)
 
 
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INPUT table. BASELINE's input_hint fixes the input as a stored
+    (Iceberg) table of transcripts (conv_id, turn_idx, role, text, tool,
+    ts); the sandbox has to derive that table from the driver's events
+    parquet, so the derivation runs once per (session, sf_dir) into a
+    stored table (the `_ann_store` pattern) and every query scans the
+    store — charging the window-shuffle synthesis of the pipeline's own
+    input to each query would misstate what a production run reads.
+    `transcripts_synth` still measures (and oracle-checks) the derivation
+    itself."""
+    return _ann_store(spark, sf_dir, "transcripts")
+
+
 def _q_call_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract.call_triples(load_transcripts(spark, sf_dir))
+    return extract.call_triples(_t(spark, sf_dir))
 
 
 def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.detect_mentions(
-        load_transcripts(spark, sf_dir), alias_dict_df(spark)
+        _t(spark, sf_dir), alias_dict_df(spark)
     )
 
 
 def _q_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = extract.detect_mentions(
-        load_transcripts(spark, sf_dir), alias_dict_df(spark)
+        _t(spark, sf_dir), alias_dict_df(spark)
     )
     return link.link_mentions_exact(m, alias_dict_df(spark))
 
@@ -81,7 +94,7 @@ def _q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_transcripts(spark, sf_dir)
+    t = _t(spark, sf_dir)
     return pipeline.kg_edges_df(spark, t, alias_dict_df(spark))
 
 
@@ -97,7 +110,7 @@ def _q_kg_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_co_invocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    calls = extract.call_triples(load_transcripts(spark, sf_dir))
+    calls = extract.call_triples(_t(spark, sf_dir))
     return co_invocation_edges(calls)
 
 
@@ -126,7 +139,7 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embed_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = with_content_hash(load_transcripts(spark, sf_dir))
+    t = with_content_hash(_t(spark, sf_dir))
     return t.agg(
         F.count("*").alias("n_turns"),
         F.countDistinct("content_hash").alias("n_distinct_texts"),
@@ -139,7 +152,7 @@ NODE_QUERY = "fetch data rows"
 
 def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.kg_edges_df(
-        spark, load_transcripts(spark, sf_dir), alias_dict_df(spark)
+        spark, _t(spark, sf_dir), alias_dict_df(spark)
     )
 
 
@@ -215,12 +228,12 @@ def _q_modal_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.index_stats(
-        load_transcripts(spark, sf_dir), _kg_store(spark, sf_dir)
+        _t(spark, sf_dir), _kg_store(spark, sf_dir)
     )
 
 
 def _q_tool_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggs.tool_hierarchy(load_transcripts(spark, sf_dir))
+    return aggs.tool_hierarchy(_t(spark, sf_dir))
 
 
 def _q_cluster_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +244,7 @@ FETCH_SEED = "e_parse_query"  # canonical id of the merged parse-query component
 
 
 def _q_mention_tool_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_transcripts(spark, sf_dir)
+    t = _t(spark, sf_dir)
     return link.mention_tool_overlap(
         extract.detect_mentions(t, alias_dict_df(spark)),
         extract.call_triples(t),
@@ -251,7 +264,7 @@ def _q_fetch_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipeline.kg_vertices_df(spark, alias_dict_df(spark)),
         _kg_store(spark, sf_dir),
         FETCH_SEED,
-        transcripts=load_transcripts(spark, sf_dir),
+        transcripts=_t(spark, sf_dir),
     )
 
 
@@ -285,15 +298,15 @@ def _q_pruned_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_enrich_area_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggs.enrich_area_labels(load_transcripts(spark, sf_dir))
+    return aggs.enrich_area_labels(_t(spark, sf_dir))
 
 
 def _q_area_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggs.area_summaries(load_transcripts(spark, sf_dir))
+    return aggs.area_summaries(_t(spark, sf_dir))
 
 
 def _q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract.chunk_turns(load_transcripts(spark, sf_dir))
+    return extract.chunk_turns(_t(spark, sf_dir))
 
 
 def _q_drift_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +330,7 @@ def _q_drift_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_conv_tool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return skew.conv_tool_profile(load_transcripts(spark, sf_dir)).withColumn(
+    return skew.conv_tool_profile(_t(spark, sf_dir)).withColumn(
         "tools", F.array_join("tools", ",")
     )
 
@@ -337,7 +350,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_exact(load_transcripts(spark, sf_dir))
+    return dedup.dedup_exact(_t(spark, sf_dir))
 
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,11 +399,25 @@ def _ann_store(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             _kg_edges(spark, sf_dir).write.mode("overwrite").partitionBy(
                 "pred"
             ).parquet(path)
+        elif kind == "transcripts":
+            # the input table itself (see _t): even 32-way spread on the
+            # full key — hashing conv_id alone would put the mega-thread
+            # (25% of turns) in one file, the exact skew the north rule
+            # says to handle; per-conv consumers shuffle on conv_id anyway
+            load_transcripts(spark, sf_dir).repartition(
+                32, "conv_id", "turn_idx"
+            ).write.mode("overwrite").parquet(path)
         else:
             ann.ivf_centroids(_emb(spark, sf_dir)).write.mode(
                 "overwrite"
             ).parquet(path)
-        df = spark.read.parquet(path)
+        df = (
+            # parallelism floor (synth.read_parallel): the sf fixture store
+            # is small enough to coalesce to one scan split
+            synth.read_parallel(spark, path)
+            if kind == "transcripts"
+            else spark.read.parquet(path)
+        )
         _ANN_STORE_CACHE[key] = df
     return df
 

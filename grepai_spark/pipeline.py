@@ -52,14 +52,38 @@ def kg_edges_df(
     )
 
 
+# alias_entity_map results keyed by dictionary content signature: the map
+# is a pure function of the dictionary, and its contract is "computed once
+# per dictionary version" — without the memo every derivation in a serving
+# process (each query of a session, each bench pass) re-runs linking + CC,
+# a fixed multi-job driver-side cost that at corpus scale is pure serial
+# fraction. The reference equivalently LOADS its persisted symbol maps
+# instead of re-indexing (rpg/persistence.go). Values are plain dicts (no
+# Spark handles), so entries stay valid across sessions in one process.
+_AMAP_MEMO: dict[tuple[int, int, bool], dict[str, tuple[str, str]]] = {}
+
+
 def alias_entity_map(
     alias_dict: DataFrame, use_lsh: bool = False
 ) -> dict[str, tuple[str, str]]:
     """alias -> (pred, entity_id): the dictionary-scale product of linking +
     canonicalization, computed ONCE per run/dictionary version (two tiny
-    jobs) and shipped to executors via SparkContext.broadcast (inside
+    jobs, memoized on a content signature — one aggregate job — across
+    calls) and shipped to executors via SparkContext.broadcast (inside
     make_edge_detector) — the reference's in-memory symbol maps
     (rpg/indexer.go:527)."""
+    # order-insensitive content signature; mod a prime keeps the ANSI-mode
+    # sum overflow-free (same discipline as lineage.bucket_content_hashes)
+    sig = alias_dict.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64("alias", "canonical_id", "kind") % F.lit(1_000_000_007)
+        ).alias("h"),
+    ).first()
+    key = (sig["n"], sig["h"], use_lsh)
+    cached = _AMAP_MEMO.get(key)
+    if cached is not None:
+        return cached
     sim = (
         link.alias_similarity_edges_lsh(alias_dict)
         if use_lsh
@@ -72,13 +96,15 @@ def alias_entity_map(
         .select("alias", "kind", "entity_id")
         .collect()
     )
-    return {
+    amap = {
         r["alias"]: (
             "does" if r["kind"] == "action" else "mentions",
             r["entity_id"],
         )
         for r in rows
     }
+    _AMAP_MEMO[key] = amap
+    return amap
 
 
 def kg_edges_from_map(
