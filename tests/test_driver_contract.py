@@ -25,3 +25,28 @@ def test_every_query_is_oracle_backed_and_window_sized():
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
         assert callable(qs[name]), name
+
+
+def test_stored_input_table_matches_synthesis(spark):
+    """The driver's stored input table (_t) must hold EXACTLY the rows the
+    oracle-checked synthesis derives — the store is a materialization, not
+    a variant. Order-insensitive full-row comparison at sf0.001."""
+    from grepai_spark.synth import load_transcripts
+
+    sf_dir = "/root/testdata/sf0.001"
+    stored = entry._t(spark, sf_dir)
+    derived = load_transcripts(spark, sf_dir)
+    assert stored.columns == derived.columns
+    a = {tuple(r) for r in stored.collect()}
+    b = {tuple(r) for r in derived.collect()}
+    assert a == b
+
+
+def test_stored_input_table_scan_parallelism(spark):
+    """The store must not collapse to a single scan partition (the
+    serialized-narrow-stage trap, PERF.md §11): at least min(cores, files)
+    partitions."""
+    sf_dir = "/root/testdata/sf0.001"
+    stored = entry._t(spark, sf_dir)
+    cores = spark.sparkContext.defaultParallelism
+    assert stored.rdd.getNumPartitions() >= min(cores, 4)
