@@ -115,9 +115,13 @@ def _q_co_invocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_with_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
-    return docs.join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    # the searcher's CHUNKS table — text + source + embedding in one row,
+    # the layout the reference's store actually serves queries from
+    # (store/gob.go chunk records). Stored once per (session, sf_dir) like
+    # the other index artifacts: hybrid_search consumes it three times
+    # (vector arm, text arm, source enrichment), and handing it the
+    # docs><embeddings JOIN expression would re-execute that join per arm.
+    return _ann_store(spark, sf_dir, "chunks")
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,6 +403,12 @@ def _ann_store(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             _kg_edges(spark, sf_dir).write.mode("overwrite").partitionBy(
                 "pred"
             ).parquet(path)
+        elif kind == "chunks":
+            docs = _docs(spark, sf_dir)
+            emb = _emb(spark, sf_dir)
+            docs.join(
+                emb.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+            ).write.mode("overwrite").parquet(path)
         elif kind == "transcripts":
             # the input table itself (see _t): even 32-way spread on the
             # full key — hashing conv_id alone would put the mega-thread
@@ -415,7 +425,7 @@ def _ann_store(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             # parallelism floor (synth.read_parallel): the sf fixture store
             # is small enough to coalesce to one scan split
             synth.read_parallel(spark, path)
-            if kind == "transcripts"
+            if kind in ("transcripts", "chunks")
             else spark.read.parquet(path)
         )
         _ANN_STORE_CACHE[key] = df

@@ -402,10 +402,16 @@ def near_dup_lsh_pairs(
         F.posexplode(sigs).alias("set_id", "bkt"),
     )
     w = Window.partitionBy("set_id", "bkt").orderBy("the_id")
+    # Materialized ONCE: both join sides below consume this table, and an
+    # unshared subtree would compute the n_sets x n_planes bucket
+    # signatures (each a dim-length fold per plane) TWICE per vector —
+    # the dominant cost of candidate generation. localCheckpoint is the
+    # repo's materialize-once idiom (blocks release with the plan).
     b = (
         b.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= bucket_cap)
         .drop("_rn")
+        .localCheckpoint(eager=True)
     )
     a = b.select(
         "set_id",

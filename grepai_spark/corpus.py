@@ -39,11 +39,17 @@ def corpus_clean(
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """(doc_id, quality, status) for every document."""
-    q = docs.select(
+    # ONE corpus scan computes both per-doc gates (quality score + content
+    # hash), materialized once: `base` feeds the quality projection, the
+    # exact-dup census and its join-back, and the final assembly — unshared,
+    # each consumer re-scans the corpus and re-hashes every document.
+    base = docs.select(
         "doc_id",
         F.round(F.expr(quality_score_sql("text")), 6).alias("quality"),
-    )
-    h = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        F.sha2(F.col("text"), 256).alias("h"),
+    ).localCheckpoint(eager=True)
+    q = base.select("doc_id", "quality")
+    h = base.select("doc_id", "h")
     exact_min = h.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     exact = h.join(exact_min, "h").select(
         "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup")

@@ -286,9 +286,17 @@ def ngram_jaccard_pairs(
     one size join, all map-side-combinable shuffles on uniform keys.
     """
     sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+    # Materialize the posting list ONCE: it feeds three consumers (the
+    # hub-shingle DF census, the per-doc size census, and the pair counts),
+    # and Spark re-executes an unshared subtree per consumer — at corpus
+    # scale that is three full scans + re-shingling passes for one logical
+    # derivation. localCheckpoint is this repo's materialize-once idiom
+    # (blocks release with the plan via ContextCleaner, unlike
+    # CacheManager-pinned persist); the production analog is the staged
+    # posting table a multi-pass dedup job writes before indexing.
     posting = sh.select(
         F.col(id_col), F.explode("shingles").alias("g")
-    )
+    ).localCheckpoint(eager=True)
     non_hub = (
         posting.groupBy("g")
         .agg(F.count("*").alias("df"))
@@ -332,7 +340,15 @@ def minhash_lsh_pairs(
     scale. Verification makes the banding a pure recall/efficiency knob.
     """
     n_hashes = bands * rows_per_band
-    sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+    # Materialized ONCE (same rationale as ngram_jaccard_pairs' posting):
+    # the shingle sets feed the signature derivation AND both sides of the
+    # exact-Jaccard verify join — unshared, that is three scans +
+    # re-shingling passes over the corpus.
+    sh = (
+        with_shingles(docs, text_col, n)
+        .select(id_col, "shingles")
+        .localCheckpoint(eager=True)
+    )
     # Hashing happens on the EXPLODED posting list in a flat projection —
     # md5 inside a higher-order-function lambda is interpreted row-at-a-time
     # (no codegen); explode + groupBy(min) keeps it in WholeStageCodegen and
