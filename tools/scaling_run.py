@@ -172,18 +172,21 @@ def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
     return json.loads(line)
 
 
-def wait_for_quiet(hi: int, timeout: int = 1500, poll: int = 60) -> None:
+def wait_for_quiet(hi: int, timeout: int = 1500, poll: int = 60) -> bool:
     """Scheduling guard, NOT part of the gate: starting a ~20-minute
     invocation inside a known throttle window wastes it — the pre-registered
     probe gate will exclude it anyway (3 of the first 10 round-4 invocations
     were doomed by a dirty before-probe). Polls a probe until it reads
-    >= PROBE_CLEAN or the timeout elapses; either way the invocation then
-    proceeds and the recorded before/mid/after probes decide cleanliness
-    exactly as before."""
+    >= PROBE_CLEAN (returns True) or the timeout elapses (returns False).
+    The caller may then skip the attempt entirely — skipping a doomed run
+    records nothing and changes no gate; the recorded before/mid/after
+    probes still decide cleanliness for every run that does happen."""
     t0 = time.monotonic()
-    while time.monotonic() - t0 < timeout:
+    while True:
         if probe_eff(hi) >= PROBE_CLEAN:
-            return
+            return True
+        if time.monotonic() - t0 >= timeout:
+            return False
         time.sleep(poll)
 
 
@@ -195,15 +198,21 @@ def run_invocation(
     zip_path: str,
     commit: str,
     pkg_hash: str,
-) -> dict:
+) -> dict | None:
     """One bracketed measurement: probe, interleaved lo/hi submits with
     pre-burst cooldowns (min wall per level), probe.
 
     `commit` (display) and `pkg_hash` (verdict key) are captured ONCE at
     harness start when the --py-files zip is built: they identify the
     measured code, and re-reading HEAD per entry would let an unrelated
-    commit landing mid-run split one session's entries across keys."""
-    wait_for_quiet(hi)
+    commit landing mid-run split one session's entries across keys.
+
+    Returns None (nothing recorded) when the host is still inside a
+    throttle window after the quiet-wait budget — a known-doomed burst
+    would only be excluded by the gate afterwards AND keeps the host's
+    sustained-burst throttle engaged longer."""
+    if not wait_for_quiet(hi):
+        return None
     eff_before = probe_eff(hi)
     eff_mid = 1.0
     aborted = False
@@ -396,6 +405,12 @@ def main() -> None:
         entry = run_invocation(
             sf_dir, replicate, lo, hi, zip_path, key["commit"], pkg_hash
         )
+        if entry is None:
+            print(
+                json.dumps({"invocation": i + 1, "skipped": "host throttled"}),
+                flush=True,
+            )
+            continue
         with open(HIST_PATH, "a") as f:
             f.write(json.dumps(entry) + "\n")
         print(json.dumps({"invocation": i + 1, **entry}), flush=True)
