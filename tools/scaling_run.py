@@ -210,10 +210,16 @@ def run_invocation(
     Returns None (nothing recorded) when the host is still inside a
     throttle window after the quiet-wait budget — a known-doomed burst
     would only be excluded by the gate afterwards AND keeps the host's
-    sustained-burst throttle engaged longer."""
+    sustained-burst throttle engaged longer. The same applies when the
+    recorded before-probe itself lands under the gate (the host can dip
+    between the quiet-wait's last poll and the probe): nothing has been
+    measured yet at that point, so skipping is pure scheduling — the
+    mid/after probes still judge every run that does start."""
     if not wait_for_quiet(hi):
         return None
     eff_before = probe_eff(hi)
+    if eff_before < PROBE_CLEAN:
+        return None
     eff_mid = 1.0
     aborted = False
     runs: dict[int, dict] = {}
