@@ -407,19 +407,23 @@ def main() -> None:
         "lo": lo,
         "hi": hi,
     }
-    for i in range(invocations):
+    # skipped attempts (throttled host, nothing measured) are free: the
+    # attempt budget counts completed invocations, bounded by a wall budget
+    budget = float(os.environ.get("SPARK_GRAFT_BATCH_BUDGET", "14400"))
+    t_start = time.monotonic()
+    i = 0
+    while i < invocations and time.monotonic() - t_start < budget:
         entry = run_invocation(
             sf_dir, replicate, lo, hi, zip_path, key["commit"], pkg_hash
         )
         if entry is None:
-            print(
-                json.dumps({"invocation": i + 1, "skipped": "host throttled"}),
-                flush=True,
-            )
+            print(json.dumps({"skipped": "host throttled"}), flush=True)
+            time.sleep(60)
             continue
+        i += 1
         with open(HIST_PATH, "a") as f:
             f.write(json.dumps(entry) + "\n")
-        print(json.dumps({"invocation": i + 1, **entry}), flush=True)
+        print(json.dumps({"invocation": i, **entry}), flush=True)
         history = load_history()
         v = verdict(history, key)
         write_baseline_block(history, key, v)
