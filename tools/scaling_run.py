@@ -172,21 +172,27 @@ def submit(cpus: int, sf_dir: str, replicate: int, zip_path: str) -> dict:
     return json.loads(line)
 
 
-def wait_for_quiet(hi: int, timeout: int = 1500, poll: int = 60) -> bool:
+def wait_for_quiet(
+    hi: int, timeout: int = 1500, poll: int = 60
+) -> float | None:
     """Scheduling guard, NOT part of the gate: starting a ~20-minute
     invocation inside a known throttle window wastes it — the pre-registered
     probe gate will exclude it anyway (3 of the first 10 round-4 invocations
     were doomed by a dirty before-probe). Polls a probe until it reads
-    >= PROBE_CLEAN (returns True) or the timeout elapses (returns False).
-    The caller may then skip the attempt entirely — skipping a doomed run
-    records nothing and changes no gate; the recorded before/mid/after
-    probes still decide cleanliness for every run that does happen."""
+    >= PROBE_CLEAN (returns that probe value, which the caller REUSES as the
+    before-probe — re-probing would open a window for the host to dip
+    between two back-to-back probes and silently waste the whole quiet wait,
+    ADVICE r4) or the timeout elapses (returns None). Skipping a doomed run
+    records a {"skipped": ...} history line (auditable, ignored by the
+    verdict) and changes no gate; the recorded per-rep probes still decide
+    cleanliness for every run that does happen."""
     t0 = time.monotonic()
     while True:
-        if probe_eff(hi) >= PROBE_CLEAN:
-            return True
+        p = probe_eff(hi)
+        if p >= PROBE_CLEAN:
+            return p
         if time.monotonic() - t0 >= timeout:
-            return False
+            return None
         time.sleep(poll)
 
 
@@ -199,28 +205,34 @@ def run_invocation(
     commit: str,
     pkg_hash: str,
 ) -> dict | None:
-    """One bracketed measurement: probe, interleaved lo/hi submits with
-    pre-burst cooldowns (min wall per level), probe.
+    """One bracketed measurement: quiet-wait probe (reused as the before
+    probe), interleaved lo/hi submits with pre-burst cooldowns (min wall per
+    level), and a probe AFTER EVERY SUBMIT.
+
+    Per-rep probe coverage closes the round-4 false-negative: three point
+    probes (before/mid/after) certified a 0.509 draw as clean even though
+    all three hi reps ran ~52 s vs the ~28 s envelope — a throttle window
+    that opened and closed between the sampled points. Bracketing every
+    submit shrinks the unprobed span from ~half the 12-minute invocation to
+    a single rep's wall, so a sustained-slow rep can no longer hide. The
+    gate VALUE is unchanged (PROBE_CLEAN stays pre-registered at 0.85);
+    only its coverage tightened.
 
     `commit` (display) and `pkg_hash` (verdict key) are captured ONCE at
     harness start when the --py-files zip is built: they identify the
     measured code, and re-reading HEAD per entry would let an unrelated
     commit landing mid-run split one session's entries across keys.
 
-    Returns None (nothing recorded) when the host is still inside a
-    throttle window after the quiet-wait budget — a known-doomed burst
-    would only be excluded by the gate afterwards AND keeps the host's
-    sustained-burst throttle engaged longer. The same applies when the
-    recorded before-probe itself lands under the gate (the host can dip
-    between the quiet-wait's last poll and the probe): nothing has been
-    measured yet at that point, so skipping is pure scheduling — the
-    mid/after probes still judge every run that does start."""
-    if not wait_for_quiet(hi):
-        return None
-    eff_before = probe_eff(hi)
-    if eff_before < PROBE_CLEAN:
-        return None
-    eff_mid = 1.0
+    Returns a {"skipped": ...} stub (recorded for audit, ignored by the
+    verdict) when the host is still inside a throttle window after the
+    quiet-wait budget — a known-doomed burst would only be excluded by the
+    gate afterwards AND keeps the host's sustained-burst throttle engaged
+    longer. Nothing has been measured at that point, so skipping is pure
+    scheduling — the per-rep probes still judge every run that starts."""
+    eff_before = wait_for_quiet(hi)
+    if eff_before is None:
+        return {"skipped": True, "commit": commit, "ts": round(time.time())}
+    probes = [eff_before]
     aborted = False
     runs: dict[int, dict] = {}
     # hi first on fresh CPU credits; each hi burst gets a LONG cooldown
@@ -228,25 +240,27 @@ def run_invocation(
     # the throttler hits wide bursts stochastically and min-of-reps needs at
     # least one clean window.
     seq = (hi, lo, hi, lo, hi)
-    for step, cpus in enumerate(seq):
+    for cpus in seq:
         if cpus == hi:
             time.sleep(int(os.environ.get("SPARK_GRAFT_HI_COOLDOWN", "240")))
         r = submit(cpus, sf_dir, replicate, zip_path)
         if cpus not in runs or r["wall_sec"] < runs[cpus]["wall_sec"]:
             runs[cpus] = r
+        # probe around EVERY submit: a rep whose bracketing probes are both
+        # clean ran in a certified-quiet span (probe pairs are ~30 s apart
+        # around a 15-100 s rep, vs ~6 min for the old mid-probe scheme)
+        probes.append(probe_eff(hi))
         time.sleep(30)
-        if step == len(seq) // 2:
-            # mid probe: bracket probes miss a throttle window that opens
-            # and closes inside the ~12-minute invocation
-            eff_mid = probe_eff(hi)
-            if eff_mid < PROBE_CLEAN:
-                # the invocation is already dirty by the pre-registered
-                # gate whatever the remaining reps measure — cut it short
-                # (both levels have >=1 rep by the mid point), record it
-                # fully (disclosed, excluded), and move on ~8 min sooner
-                aborted = True
-                break
-    eff_after = probe_eff(hi)
+        if (
+            min(probes) < PROBE_CLEAN
+            and lo in runs
+            and hi in runs
+        ):
+            # already dirty by the pre-registered gate whatever the
+            # remaining reps measure — cut it short once both levels have
+            # >= 1 rep, record it fully (disclosed, excluded), move on
+            aborted = True
+            break
     r_lo, r_hi = runs[lo], runs[hi]
     return {
         **({"aborted": True} if aborted else {}),
@@ -262,10 +276,13 @@ def run_invocation(
         "eff": round(
             (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo), 3
         ),
-        "probe_before": eff_before,
-        "probe_mid": eff_mid,
-        "probe_after": eff_after,
-        "clean": min(eff_before, eff_mid, eff_after) >= PROBE_CLEAN,
+        # legacy three-point fields stay populated (BASELINE table + old
+        # entries' is_clean path); `probes` carries the full per-rep series
+        "probe_before": probes[0],
+        "probe_mid": round(min(probes[1:-1]), 3) if len(probes) > 2 else 1.0,
+        "probe_after": probes[-1],
+        "probes": probes,
+        "clean": min(probes) >= PROBE_CLEAN,
     }
 
 
@@ -278,8 +295,11 @@ def load_history() -> list[dict]:
 def is_clean(h: dict) -> bool:
     """Cleanliness from the RECORDED probes at the current PROBE_CLEAN gate
     (not the flag stored at measurement time) — recalibrating the gate
-    applies uniformly to every entry of the commit under judgment."""
-    probes = [
+    applies uniformly to every entry of the commit under judgment. Entries
+    measured with per-rep coverage carry the full `probes` series; older
+    entries are judged by their three recorded points (the best evidence
+    they carry)."""
+    probes = h.get("probes") or [
         h.get("probe_before", 0.0),
         h.get("probe_mid", 1.0),
         h.get("probe_after", 0.0),
@@ -318,18 +338,54 @@ def verdict(history: list[dict], key: dict) -> dict:
     }
 
 
+def _probe_cell(h: dict) -> str:
+    if "probes" in h:
+        return "/".join(str(p) for p in h["probes"])
+    return f"{h['probe_before']}/{h.get('probe_mid', '-')}/{h['probe_after']}"
+
+
+def _verdict_note(v: dict) -> str:
+    """Spell out WHICH criterion condition holds/fails (ADVICE r4: a single
+    PASS/FAIL label next to the median read as self-contradictory when the
+    median met 0.8 but the consecutive-pass rule was the failing one)."""
+    med = v["median_eff"]
+    if med is None:
+        return "PENDING — no clean invocations yet"
+    parts = [
+        f"n_clean {v['n_clean']} >= {MIN_CLEAN}: "
+        + ("OK" if v["n_clean"] >= MIN_CLEAN else "unmet"),
+        f"median {med} >= 0.8: " + ("OK" if med >= 0.8 else "unmet"),
+    ]
+    last2 = [h["eff"] for h in v["clean"][-2:]]
+    if len(last2) == 2:
+        ok = all(e >= 0.8 for e in last2)
+        parts.append(
+            f"last two clean {last2[0]}/{last2[1]} >= 0.8: "
+            + ("OK" if ok else "unmet (consecutive-pass rule)")
+        )
+    else:
+        parts.append("last two clean >= 0.8: unmet (< 2 clean)")
+    verdict_word = "PASS" if v["pass"] else "FAIL"
+    return f"{verdict_word} — " + "; ".join(parts)
+
+
 def write_baseline_block(history: list[dict], key: dict, v: dict) -> None:
     lo, hi = key["lo"], key["hi"]
     cur_rows = "\n".join(
         f"| {h['n_turns']} | {h['wall_lo']} | {h['wall_hi']} | {h['eff']} "
-        f"| {h['probe_before']}/{h.get('probe_mid', '-')}/{h['probe_after']} "
+        f"| {_probe_cell(h)} "
         f"| {'yes' if is_clean(h) else 'NO (cut short)' if h.get('aborted') else 'NO'} |"
         for h in v["invocations"]
     ) or "| (none yet) | | | | | |"
     key_note = (
         f"package content hash `{key['pkg_hash']}` (commit `{key['commit']}`)"
     )
-    prior = [h for h in history if h not in v["invocations"]]
+    skipped = [h for h in history if h.get("skipped")]
+    prior = [
+        h
+        for h in history
+        if h not in v["invocations"] and not h.get("skipped")
+    ]
     prior_rows = "\n".join(
         f"| {h.get('commit', '-')} | {h.get('n_turns', '-')} "
         f"| {h.get('wall_lo', '-')} | {h.get('wall_hi', '-')} "
@@ -347,9 +403,11 @@ spark-submit --py-files job (tools/scaling_job.py): full KG pipeline
 ({key['sf_dir']} x{key['replicate']} deterministic replication) at two
 parallelism levels — the sandbox proxy for N vs 4N executors. Each
 invocation takes min wall over 3 hi / 2 lo reps with pre-burst cooldowns
-and carries before/mid/after CPU probes; an invocation is CLEAN iff all
-three show >= {PROBE_CLEAN} parallel efficiency (PRE-REGISTERED gate, fixed since
-round 3 — the shared host throttles sustained wide bursts in multi-minute
+and carries a CPU probe around EVERY submit (per-rep coverage, round 5 —
+three point-probes demonstrably missed a throttle window that opened and
+closed between them); an invocation is CLEAN iff every probe shows
+>= {PROBE_CLEAN} parallel efficiency (gate VALUE pre-registered, fixed since round
+3 — the shared host throttles sustained wide bursts in multi-minute
 windows, PERF.md §10-11). The verdict needs >= {MIN_CLEAN} clean invocations,
 median >= 0.8, and the last two clean invocations both >= 0.8. Verdict
 rows are keyed by the MEASURED PACKAGE CONTENT (every clean invocation of
@@ -363,8 +421,11 @@ Measured code: {key_note}; invocations (local[{lo}]=N vs local[{hi}]=4N):
 {cur_rows}
 
 **Scaling efficiency (median of {v['n_clean']} clean: {clean_effs}) =
-{med if med is not None else 'n/a'}** (target >= 0.8:
-{'PASS' if v['pass'] else 'FAIL' if med is not None else 'PENDING'}).
+{med if med is not None else 'n/a'}**: {_verdict_note(v)}.
+
+{len(skipped)} throttled attempts were skipped before measurement (nothing
+submitted; recorded as `skipped` lines in tools/scaling_history.jsonl for
+audit — they carry no measurement and no gate weight).
 
 Prior recorded invocations (earlier commits / configurations, disclosed
 for transparency — not used for the verdict):
@@ -412,17 +473,20 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BATCH_BUDGET", "14400"))
     t_start = time.monotonic()
     i = 0
+    summary = None
     while i < invocations and time.monotonic() - t_start < budget:
         entry = run_invocation(
             sf_dir, replicate, lo, hi, zip_path, key["commit"], pkg_hash
         )
-        if entry is None:
+        with open(HIST_PATH, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        if entry.get("skipped"):
+            # durable audit trail for discarded attempts (ADVICE r4); the
+            # verdict ignores these lines (no pkg_hash / eff keys)
             print(json.dumps({"skipped": "host throttled"}), flush=True)
             time.sleep(60)
             continue
         i += 1
-        with open(HIST_PATH, "a") as f:
-            f.write(json.dumps(entry) + "\n")
         print(json.dumps({"invocation": i, **entry}), flush=True)
         history = load_history()
         v = verdict(history, key)
@@ -439,6 +503,20 @@ def main() -> None:
         print(json.dumps(summary), flush=True)
         if v["pass"] and os.environ.get("SPARK_GRAFT_UNTIL_PASS"):
             break
+    if summary is None:
+        # zero completed invocations (all attempts skipped / budget elapsed):
+        # still report the standing verdict for this package (ADVICE r4)
+        v = verdict(load_history(), key)
+        summary = {
+            "sf_dir": sf_dir,
+            "commit": key["commit"],
+            "completed_invocations": 0,
+            "n_clean": v["n_clean"],
+            "median_eff": v["median_eff"],
+            "target": 0.8,
+            "pass": v["pass"],
+        }
+        print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
