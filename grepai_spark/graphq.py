@@ -57,33 +57,44 @@ def bfs(
     direction: str = "both",
     preds: list[str] | None = None,
     hub_cap: int = 1000,
+    adj: DataFrame | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded BFS (G3/G4): (node, depth) rows reachable from `seed` within
     `depth` hops. direction: fwd | rev | both. Nodes with fan-out > hub_cap
     are not expanded (collision/hub guard).
 
-    Each hop is one broadcast-able join of a small frontier against the edge
-    table — at scale the frontier stays tiny relative to edges, so Spark
-    broadcasts it and the big side never shuffles.
+    Pass `adj` (distinct (a, b) for the selected direction/preds) and `deg`
+    ((a, deg) over that adjacency) from the STORED graph artifacts
+    (stores.graph_adjacency) — the reference's prebuilt adjForward /
+    adjReverse (rpg/model.go:70-80). Deriving them here from the edge table
+    is kept as the ad-hoc fallback, but it is a full edge-table shuffle per
+    query — the indexer should build the census once per graph version.
+
+    Each hop is one broadcast-able join of a small frontier against the
+    adjacency — at scale the frontier stays tiny relative to it, so Spark
+    broadcasts the frontier and the big side never shuffles.
     """
-    e = edges
-    if preds:
-        e = e.where(F.col("pred").isin(preds))
-    fwd = e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
-    rev = e.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
-    if direction == "fwd":
-        adj = fwd
-    elif direction == "rev":
-        adj = rev
-    else:
-        adj = fwd.union(rev)
-    adj = adj.where(F.col("a") != F.col("b")).distinct()
-    # hub guard: degree pre-computation, expansion skips heavy nodes
-    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    if adj is None or deg is None:
+        e = edges
+        if preds:
+            e = e.where(F.col("pred").isin(preds))
+        fwd = e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        rev = e.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+        if direction == "fwd":
+            adj = fwd
+        elif direction == "rev":
+            adj = rev
+        else:
+            adj = fwd.union(rev)
+        adj = adj.where(F.col("a") != F.col("b")).distinct()
+        # hub guard: degree pre-computation, expansion skips heavy nodes
+        deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
     expandable = deg.where(F.col("deg") <= hub_cap).select("a")
     # Materialize the (small) adjacency once: every hop below re-joins it,
-    # and without this the full upstream pipeline (UDF extract, linking, CC)
-    # would be re-executed per depth level.
+    # and without this the upstream plan (a stored-artifact scan in the
+    # indexed path; the full extract pipeline in the fallback) would be
+    # re-executed per depth level.
     adj_ok = adj.join(expandable, "a").localCheckpoint(eager=True)
 
     spark = edges.sparkSession

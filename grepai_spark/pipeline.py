@@ -210,6 +210,14 @@ def run(
             counters.update(
                 {f"embed_{k}": v for k, v in embed_counters.items()}
             )
+            if fail_after == "embed_cache":
+                # crash point BETWEEN the cache merge (already committed
+                # inside embed_with_cache) and the vectors merge below: the
+                # re-run must converge to the same turn_vectors table with
+                # zero re-encoding (test_pipeline locks this)
+                raise InjectedFailure(
+                    "killed between cache merge and vectors merge"
+                )
             catalog.merge_by_key(
                 "turn_vectors",
                 vec.select(
@@ -261,6 +269,15 @@ def run(
             F.count("*").alias("rows_out")
         )
         lineage.mark_done(catalog, "edges", pending_e, out_counts)
+        # maintain the graph-query plane's stored adjacency + degree census
+        # whenever the edge table changed (stores.py) — the indexer writes
+        # the artifacts the query plane reads; rebuilding them per query
+        # was the round-4 scale anti-pattern
+        from grepai_spark import stores
+
+        stores.build_graph_artifacts(
+            catalog, catalog.read("edges").drop("bucket")
+        )
 
     # ---- stage: vertices (global, dictionary-scale) -------------------------
     vertices = materialize.build_vertices(alias_dict, cmap)

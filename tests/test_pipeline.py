@@ -132,6 +132,76 @@ def test_pipeline_resume_after_embed_kill(spark, tiny_transcripts, tmp_path):
     assert _triple_set(res.edges) == _triple_set(clean.edges)
 
 
+def test_embed_cache_consistent_after_kill_between_merges(
+    spark, tiny_transcripts, tmp_path
+):
+    """Crash point BETWEEN the cache merge and the turn_vectors merge
+    (VERDICT r4 #8): the first run commits the embedding cache but dies
+    before writing turn_vectors; the re-run must (a) converge to exactly
+    the turn_vectors a clean run produces and (b) encode NOTHING — every
+    distinct text is already a cache hit."""
+    from grepai_spark.storage import Catalog
+
+    out = str(tmp_path / "out_cache_kill")
+    d = alias_dict_df(spark)
+    with pytest.raises(pipeline.InjectedFailure):
+        pipeline.run(
+            spark, tiny_transcripts, d, out, embed=True,
+            fail_after="embed_cache",
+        )
+    cat = Catalog(spark, out)
+    assert cat.exists("embedding_cache")  # cache merge committed pre-kill
+    assert not cat.exists("turn_vectors")  # vectors merge never ran
+    res = pipeline.run(spark, tiny_transcripts, d, out, embed=True)
+    assert res.counters["embed_cache_misses"] == 0
+    assert res.counters["embed_encoded_rows"] == 0  # zero re-encoding
+    clean = pipeline.run(
+        spark, tiny_transcripts, d, str(tmp_path / "clean3"), embed=True
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): tuple(r["vector"])
+        for r in cat.read("turn_vectors").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): tuple(r["vector"])
+        for r in Catalog(spark, str(tmp_path / "clean3"))
+        .read("turn_vectors")
+        .collect()
+    }
+    assert got == want
+
+
+def test_run_maintains_graph_artifacts(spark, tiny_transcripts, tmp_path):
+    """pipeline.run writes the graph-query plane's stored adjacency +
+    degree census alongside the edge table (stores.build_graph_artifacts);
+    a BFS over the artifacts equals a BFS that derives adjacency from the
+    edges per query (the ad-hoc fallback path)."""
+    from grepai_spark import graphq
+    from grepai_spark.storage import Catalog
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out_graph")
+    d = alias_dict_df(spark)
+    res = pipeline.run(spark, tiny_transcripts, d, out)
+    cat = Catalog(spark, out)
+    for t in ("graph_adj", "graph_deg", "graph_adj_pred", "graph_deg_pred"):
+        assert cat.exists(t), t
+    adj = (
+        cat.read("graph_adj").where(F.col("dir") == "both").select("a", "b")
+    )
+    deg = (
+        cat.read("graph_deg")
+        .where(F.col("dir") == "both")
+        .select("a", "deg")
+    )
+    seed = "payments.charge"
+    via_store = graphq.bfs(res.edges, seed, depth=2, adj=adj, deg=deg)
+    via_derive = graphq.bfs(res.edges, seed, depth=2)
+    assert sorted(map(tuple, via_store.collect())) == sorted(
+        map(tuple, via_derive.collect())
+    )
+
+
 def test_merge_rewrites_only_dirty_buckets(spark, tmp_path):
     """Partition-scoped merge (Iceberg overwritePartitions stand-in): merging
     updates for one bucket must leave every other bucket's files untouched
