@@ -260,8 +260,10 @@ def test_extract_features_empty_payload(spark):
     assert list(r["byte_features"]) == [0.0] * multimodal.N_FEATURE_BUCKETS
 
 
-def test_decode_image_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_codec_boundary():
+    # JPEG is the declared codec boundary (SURVEY §2) — a clear error, not
+    # a silent wrong answer; PPM and PNG decode natively (tests below)
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff")
 
 
@@ -365,10 +367,51 @@ def test_ppm_round_trip_and_decode_errors():
         multimodal.decode_ppm(b"P5\n2 2\n255\n....")
     with _pytest.raises(ValueError):
         multimodal.decode_ppm(b"P6\n2 2\n255\nxx")  # short raster
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")  # jpeg: env stub
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")  # jpeg: boundary
     with _pytest.raises(ValueError):
         multimodal.decode_image(b"GIF89a")
+
+
+def test_png_round_trip_all_filters_and_shapes():
+    """The real PNG codec: encode -> decode is the identity for grey/RGB/
+    RGBA across shapes, with every scanline filter type exercised; corrupt
+    payloads raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng_like = lambda n: np.fromiter(
+        ((i * 37 + 11) % 256 for i in range(n)), dtype=np.uint8, count=n
+    )
+    for shape in [(3, 4, 3), (7, 5, 3), (1, 1, 3), (6, 2, 4), (4, 9, 1)]:
+        n = shape[0] * shape[1] * shape[2]
+        img = rng_like(n).reshape(shape)
+        for ft in range(5):  # force a single filter type per image too
+            got = multimodal.decode_png(
+                multimodal.encode_png(img, filter_for_row=lambda y: ft)
+            )
+            assert got.shape == shape and (got == img).all(), (shape, ft)
+        got = multimodal.decode_png(multimodal.encode_png(img))
+        assert (got == img).all(), shape
+    # synth_png round-trips to the closed-form raster via decode_image
+    for doc_id in (1, 3, 5, 123, 999):
+        img = multimodal.decode_image(multimodal.synth_png(doc_id))
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        want = np.fromiter(
+            ((doc_id * 7 + i * 13) % 256 for i in range(w * h * 3)),
+            dtype=np.uint8,
+            count=w * h * 3,
+        ).reshape(h, w, 3)
+        assert (img == want).all(), doc_id
+    # corruption: flipped byte -> CRC mismatch; truncation -> clear error
+    payload = bytearray(multimodal.synth_png(7))
+    payload[30] ^= 0xFF
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(bytes(payload))
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(multimodal.synth_png(7)[:-8])
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png")
 
 
 def test_image_features_matches_decoded_pixels(spark, docs):
