@@ -366,6 +366,7 @@ def near_dup_lsh_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_cap: int = NEAR_DUP_CELL_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT a precomputed coarse-cell column:
     bucket = sign-LSH signature of the vector, OR-amplified across `n_sets`
@@ -411,8 +412,9 @@ def near_dup_lsh_pairs(
         b.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= bucket_cap)
         .drop("_rn")
-        .localCheckpoint(eager=True)
     )
+    if materialize:  # ADVICE r4: plan-only consumers can opt out
+        b = b.localCheckpoint(eager=True)
     a = b.select(
         "set_id",
         "bkt",

@@ -37,8 +37,16 @@ def corpus_clean(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,
     threshold: float = JACCARD_THRESHOLD,
+    materialize: bool = True,
 ) -> DataFrame:
-    """(doc_id, quality, status) for every document."""
+    """(doc_id, quality, status) for every document.
+
+    `materialize=False` skips the eager shared-subtree checkpoints
+    (ADVICE r4). Note construction still runs Spark jobs either way: the
+    near-dup component map comes from ITERATIVE connected components, whose
+    convergence loop is inherently eager (cc.py) — fully-lazy plan
+    construction is only available on the non-iterative dedup operators.
+    """
     # ONE corpus scan computes both per-doc gates (quality score + content
     # hash), materialized once: `base` feeds the quality projection, the
     # exact-dup census and its join-back, and the final assembly — unshared,
@@ -47,14 +55,18 @@ def corpus_clean(
         "doc_id",
         F.round(F.expr(quality_score_sql("text")), 6).alias("quality"),
         F.sha2(F.col("text"), 256).alias("h"),
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     q = base.select("doc_id", "quality")
     h = base.select("doc_id", "h")
     exact_min = h.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     exact = h.join(exact_min, "h").select(
         "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup")
     )
-    pairs = minhash_lsh_pairs(docs, threshold=threshold).select(
+    pairs = minhash_lsh_pairs(
+        docs, threshold=threshold, materialize=materialize
+    ).select(
         F.lpad(F.col("a_id").cast("string"), _PAD, "0").alias("src"),
         F.lpad(F.col("b_id").cast("string"), _PAD, "0").alias("dst"),
     )

@@ -274,6 +274,9 @@ def ngram_jaccard_pairs(
     df_cap: int = DF_CAP,
     id_col: str = "doc_id",
     text_col: str = "text",
+    catalog: "Catalog | None" = None,
+    posting_table: str = "ngram_posting",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold, computed over
     the STOP-SHINGLE-FILTERED sets (shingles in more than `df_cap` docs are
@@ -290,13 +293,22 @@ def ngram_jaccard_pairs(
     # hub-shingle DF census, the per-doc size census, and the pair counts),
     # and Spark re-executes an unshared subtree per consumer — at corpus
     # scale that is three full scans + re-shingling passes for one logical
-    # derivation. localCheckpoint is this repo's materialize-once idiom
-    # (blocks release with the plan via ContextCleaner, unlike
-    # CacheManager-pinned persist); the production analog is the staged
-    # posting table a multi-pass dedup job writes before indexing.
-    posting = sh.select(
-        F.col(id_col), F.explode("shingles").alias("g")
-    ).localCheckpoint(eager=True)
+    # derivation. Two regimes (the cc.py broadcast-vs-shuffle pattern):
+    #
+    # * `catalog` given — the posting table is STAGED TO STORAGE and read
+    #   back (one write + three cheap scans). This is the 100 TB regime:
+    #   the posting list is O(total tokens) and must not be pinned in
+    #   executor memory/disk the way localCheckpoint blocks are (PERF §24).
+    # * default — localCheckpoint, this repo's in-session materialize-once
+    #   idiom (blocks release with the plan via ContextCleaner, unlike
+    #   CacheManager-pinned persist). `materialize=False` opts out entirely
+    #   for plan-only consumers (.explain() without paying a job).
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
+    if catalog is not None:
+        catalog.overwrite(posting_table, posting)
+        posting = catalog.read(posting_table)
+    elif materialize:
+        posting = posting.localCheckpoint(eager=True)
     non_hub = (
         posting.groupBy("g")
         .agg(F.count("*").alias("df"))
@@ -330,6 +342,7 @@ def minhash_lsh_pairs(
     n: int = SHINGLE_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -343,12 +356,11 @@ def minhash_lsh_pairs(
     # Materialized ONCE (same rationale as ngram_jaccard_pairs' posting):
     # the shingle sets feed the signature derivation AND both sides of the
     # exact-Jaccard verify join — unshared, that is three scans +
-    # re-shingling passes over the corpus.
-    sh = (
-        with_shingles(docs, text_col, n)
-        .select(id_col, "shingles")
-        .localCheckpoint(eager=True)
-    )
+    # re-shingling passes over the corpus. `materialize=False` keeps the
+    # plan lazy for plan-only consumers (ADVICE r4).
+    sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     # Hashing happens on the EXPLODED posting list in a flat projection —
     # md5 inside a higher-order-function lambda is interpreted row-at-a-time
     # (no codegen); explode + groupBy(min) keeps it in WholeStageCodegen and
