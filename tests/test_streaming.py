@@ -254,3 +254,43 @@ def test_stream_resumes_over_unbucketed_legacy_table(
         (r["conv_id"], r["turn_idx"], r["obj"])
         for r in extract.call_triples(tiny_transcripts).collect()
     }
+
+
+def test_streaming_kg_edges_match_duckdb_oracle_at_sf(spark, tmp_path):
+    """W2 locked to the driver's truth (VERDICT r4 #7): the sf0.01 corpus
+    replayed as micro-batches through incremental_kg_edges must converge to
+    row-for-row the same edge set the batch kg_edges DuckDB oracle
+    computes — the same cross-engine check the driver runs on the batch
+    query, applied to the streaming plane's merged table."""
+    import duckdb
+
+    from grepai_spark import oracles
+    from grepai_spark.synth import alias_dict_df, load_transcripts
+
+    sf_dir = "/root/testdata/sf0.01"
+    src = str(tmp_path / "sfsrc")
+    out = str(tmp_path / "sfout")
+    ck = str(tmp_path / "sfck")
+    # replay the corpus as 6 files -> maxFilesPerTrigger=4 gives 2 batches
+    load_transcripts(spark, sf_dir).repartition(6).write.parquet(src)
+    streaming.incremental_kg_edges(
+        spark, src, out, ck, alias_dict_df(spark)
+    )
+    got = sorted(
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"],
+         round(r["weight"], 6))
+        for r in Catalog(spark, out)
+        .read(streaming.KG_EDGES_TABLE)
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        (s, p, o, c, t, round(w, 6))
+        for s, p, o, c, t, w in con.execute(
+            oracles.kg_edges_oracle()
+        ).fetchall()
+    )
+    assert got == want
