@@ -1,0 +1,122 @@
+"""Pure-function tests for the scaling harness's verdict gate
+(tools/scaling_run.py) — no Spark, no subprocesses.
+
+The gate is measurement INFRASTRUCTURE: a bug here silently admits dirty
+draws (the round-4 0.509 false-negative) or discards clean ones, so its
+selection logic is locked by tests like any operator.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import scaling_run as sr
+
+
+def _entry(eff, probes=None, pkg="pkgA", **kw):
+    e = {
+        "commit": "c0",
+        "pkg_hash": pkg,
+        "sf_dir": "/sf",
+        "replicate": 128,
+        "lo": 2,
+        "hi": 8,
+        "n_turns": 1,
+        "wall_lo": 1.0,
+        "wall_hi": 1.0,
+        "eff": eff,
+        "probe_before": 0.9,
+        "probe_mid": 0.9,
+        "probe_after": 0.9,
+    }
+    if probes is not None:
+        e["probes"] = probes
+    e.update(kw)
+    return e
+
+
+KEY = {"pkg_hash": "pkgA", "sf_dir": "/sf", "lo": 2, "hi": 8}
+
+
+def test_per_rep_probes_catch_mid_rep_throttle():
+    """The round-4 false-negative: legacy three-point probes clean, but a
+    per-rep probe caught the throttle window -> entry must be dirty."""
+    legacy_clean = _entry(0.509)  # only 3 points recorded, all >= gate
+    assert sr.is_clean(legacy_clean)  # old entries: best evidence they carry
+    per_rep_dirty = _entry(0.509, probes=[0.95, 0.86, 0.51, 0.93, 0.9, 0.9])
+    assert not sr.is_clean(per_rep_dirty)
+    per_rep_clean = _entry(0.88, probes=[0.95, 0.86, 0.87, 0.93, 0.9, 0.9])
+    assert sr.is_clean(per_rep_clean)
+
+
+def test_verdict_requires_min_clean_median_and_consecutive():
+    # two clean: not enough
+    h = [_entry(0.9), _entry(0.9)]
+    assert not sr.verdict(h, KEY)["pass"]
+    # three clean, median ok, last two ok
+    h = [_entry(0.85), _entry(0.9), _entry(0.88)]
+    assert sr.verdict(h, KEY)["pass"]
+    # median ok but last clean dips: consecutive rule fails
+    h = [_entry(0.9), _entry(0.9), _entry(0.7)]
+    v = sr.verdict(h, KEY)
+    assert v["median_eff"] >= 0.8 and not v["pass"]
+    # a dirty dip between cleans does not break the consecutive rule
+    h = [
+        _entry(0.9),
+        _entry(0.9),
+        _entry(0.3, probes=[0.9, 0.5, 0.9]),  # excluded by gate
+        _entry(0.85),
+    ]
+    assert sr.verdict(h, KEY)["pass"]
+
+
+def test_verdict_excludes_both_directions_and_other_packages():
+    # high draws are excluded by a dirty probe exactly like low ones
+    h = [
+        _entry(0.85),
+        _entry(0.86),
+        _entry(1.4, probes=[0.9, 0.2, 0.9]),
+        _entry(0.84),
+    ]
+    v = sr.verdict(h, KEY)
+    assert v["n_clean"] == 3 and 1.4 not in [e["eff"] for e in v["clean"]]
+    # other-package entries and skip stubs never count
+    h = [
+        _entry(0.9),
+        _entry(0.9, pkg="pkgB"),
+        {"skipped": True, "commit": "c0", "ts": 0},
+        _entry(0.9),
+        _entry(0.9),
+    ]
+    v = sr.verdict(h, KEY)
+    assert v["n_clean"] == 3 and v["pass"]
+
+
+def test_verdict_note_names_the_failing_condition():
+    h = [_entry(0.9), _entry(0.9), _entry(0.7)]
+    note = sr._verdict_note(sr.verdict(h, KEY))
+    assert note.startswith("FAIL")
+    assert "consecutive-pass rule" in note
+    h = [_entry(0.85), _entry(0.9), _entry(0.88)]
+    assert sr._verdict_note(sr.verdict(h, KEY)).startswith("PASS")
+    assert "PENDING" in sr._verdict_note(sr.verdict([], KEY))
+
+
+def test_real_history_round4_draw_is_the_documented_failure():
+    """Lock the disclosed round-4 outcome: on the recorded history, pkg
+    19f9eeddd6f9 has median >= 0.8 but fails the consecutive rule."""
+    hist = sr.load_history()
+    key = {
+        "pkg_hash": "19f9eeddd6f9",
+        "sf_dir": "/root/testdata/sf0.1",
+        "lo": 2,
+        "hi": 8,
+    }
+    v = sr.verdict(hist, key)
+    if v["n_clean"] < 3:  # history file trimmed in some checkouts
+        return
+    assert v["median_eff"] >= 0.8
+    assert not v["pass"]
