@@ -246,11 +246,17 @@ def run_invocation(
         r = submit(cpus, sf_dir, replicate, zip_path)
         if cpus not in runs or r["wall_sec"] < runs[cpus]["wall_sec"]:
             runs[cpus] = r
-        # probe around EVERY submit: a rep whose bracketing probes are both
-        # clean ran in a certified-quiet span (probe pairs are ~30 s apart
-        # around a 15-100 s rep, vs ~6 min for the old mid-probe scheme)
-        probes.append(probe_eff(hi))
+        # Probe around EVERY submit, AFTER the 30 s inter-rep settle: the
+        # gate targets multi-minute throttle windows (a window that slowed
+        # a rep is still open 30 s later — round 4's ~52 s-slow reps would
+        # fail this probe), while a probe fired at the instant a wide burst
+        # ends can read the transient the burst ITSELF triggered at its
+        # boundary and discard a rep that demonstrably ran at the clean
+        # envelope (observed: wall_hi 29.3 s, eff 0.884, immediate probe
+        # 0.716). Settle-then-probe keeps per-rep coverage without that
+        # false positive.
         time.sleep(30)
+        probes.append(probe_eff(hi))
         if (
             min(probes) < PROBE_CLEAN
             and lo in runs
