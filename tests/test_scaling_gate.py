@@ -120,3 +120,61 @@ def test_real_history_round4_draw_is_the_documented_failure():
         return
     assert v["median_eff"] >= 0.8
     assert not v["pass"]
+
+
+def _steps(walls_probes):
+    """Build (steps, probes) from [(cpus, wall)] + probe series."""
+    walls, probes = walls_probes
+    steps = [
+        {"cpus": c, "wall": w, "tps": 12_800_000 / w, "n_turns": 12_800_000}
+        for c, w in walls
+    ]
+    return steps, probes
+
+
+SEQ = [(8, 28.0), (2, 100.0), (8, 29.0), (2, 101.0), (8, 27.5)]
+
+
+def test_rep_certify_blocks_round4_false_negative():
+    """A sustained-slow rep (the 0.509 shape) has dirty brackets on every
+    rep -> never clean, whatever the point probes once said."""
+    steps, probes = _steps(
+        ([(8, 52.0), (2, 100.0), (8, 52.0), (2, 100.0), (8, 52.0)],
+         [0.95, 0.5, 0.5, 0.5, 0.5, 0.5])
+    )
+    eff, clean, _, _ = sr.rep_certify(
+        {"steps": steps, "probes": probes, "lo": 2, "hi": 8}
+    )
+    assert not clean and eff < 0.6
+
+
+def test_rep_certify_keeps_certified_reps_despite_trailing_window():
+    """A window opening AFTER every rep of interest was bracket-certified
+    must not discard the invocation (three >= 0.88 draws died this way)."""
+    steps, probes = _steps((SEQ, [0.94, 0.87, 0.86, 0.87, 0.9, 0.3]))
+    eff, clean, w_lo, w_hi = sr.rep_certify(
+        {"steps": steps, "probes": probes, "lo": 2, "hi": 8}
+    )
+    # the last hi rep (27.5, bracketed 0.9/0.3) is NOT certified; the best
+    # certified hi rep is 28.0 and the best certified lo rep is 100.0
+    assert clean and (w_lo, w_hi) == (100.0, 28.0)
+    assert eff == round((12_800_000 / 28.0) / (12_800_000 / 100.0) / 4, 3)
+
+
+def test_rep_certify_requires_both_levels():
+    # every lo bracket dirty -> not clean even with pristine hi reps
+    steps, probes = _steps((SEQ, [0.9, 0.9, 0.5, 0.9, 0.5, 0.9]))
+    _, clean, _, _ = sr.rep_certify(
+        {"steps": steps, "probes": probes, "lo": 2, "hi": 8}
+    )
+    assert not clean
+
+
+def test_verdict_uses_certified_eff_for_steps_entries():
+    steps, probes = _steps((SEQ, [0.9] * 6))
+    e = _entry(0.0, probes=probes)  # recorded eff field deliberately wrong
+    e["steps"] = steps
+    h = [e, _entry(0.9), _entry(0.9)]
+    v = sr.verdict(h, KEY)
+    assert v["n_clean"] == 3 and v["pass"]
+    assert sr.entry_eff(e) > 0.8  # certified recomputation, not the field
