@@ -178,3 +178,19 @@ def test_verdict_uses_certified_eff_for_steps_entries():
     v = sr.verdict(h, KEY)
     assert v["n_clean"] == 3 and v["pass"]
     assert sr.entry_eff(e) > 0.8  # certified recomputation, not the field
+
+
+def test_foreground_load_excludes_regardless_of_probes():
+    """An invocation that overlapped the repo's own foreground compute is
+    never clean — even with a fully certified probe series (self-load
+    inflates the lo wall, i.e. biases efficiency UPWARD, so probe evidence
+    alone cannot admit it). Direction-blind: flag, not value."""
+    steps, probes = _steps((SEQ, [0.9] * 6))
+    good = _entry(0.93, probes=probes)
+    good["steps"] = steps
+    assert sr.is_clean(good)
+    tainted = dict(good, foreground_load=True)
+    assert not sr.is_clean(tainted)
+    h = [_entry(0.9), _entry(0.9), tainted]
+    v = sr.verdict(h, KEY)
+    assert v["n_clean"] == 2 and not v["pass"]

@@ -349,14 +349,28 @@ def load_history() -> list[dict]:
 def is_clean(h: dict) -> bool:
     """Cleanliness from the RECORDED evidence at the current PROBE_CLEAN
     gate (not the flag stored at measurement time) — recalibrating the gate
-    applies uniformly to every entry of the commit under judgment. Three
-    formats, each judged by the best evidence it carries:
+    applies uniformly to every entry of the commit under judgment.
+
+    Entries annotated ``foreground_load`` are never clean: the flag records
+    that the invocation demonstrably overlapped THIS REPO'S OWN foreground
+    compute (test suite / bench runs in the same sandbox), which is a
+    broken measurement environment, not host weather. The exclusion is
+    direction-blind (it never looks at the efficiency value — round 5
+    excluded one probe-certified 0.928 draw and one 0.953 draw this way)
+    and intentionally stricter than the probe gate: self-load inflates the
+    lo-level wall, which inflates efficiency, so a probe-certified draw
+    under self-load is biased IN FAVOR of the criterion and cannot be
+    allowed to stand on probe evidence alone.
+
+    Three formats, each judged by the best evidence it carries:
 
     * per-rep walls + probe series (`steps` + `probes`) -> bracket
       certification (rep_certify);
     * probe series only (`probes`) -> min over the series;
     * legacy -> min over the three recorded points.
     """
+    if h.get("foreground_load"):
+        return False
     if h.get("steps") and h.get("probes"):
         return rep_certify(h)[1]
     probes = h.get("probes") or [
@@ -439,7 +453,7 @@ def write_baseline_block(history: list[dict], key: dict, v: dict) -> None:
     cur_rows = "\n".join(
         f"| {h['n_turns']} | {h['wall_lo']} | {h['wall_hi']} | {entry_eff(h)} "
         f"| {_probe_cell(h)} "
-        f"| {'yes' if is_clean(h) else 'NO (cut short)' if h.get('aborted') else 'NO'} |"
+        f"| {'yes' if is_clean(h) else 'NO (self-load)' if h.get('foreground_load') else 'NO (cut short)' if h.get('aborted') else 'NO'} |"
         for h in v["invocations"]
     ) or "| (none yet) | | | | | |"
     key_note = (
