@@ -194,3 +194,29 @@ def test_foreground_load_excludes_regardless_of_probes():
     h = [_entry(0.9), _entry(0.9), tainted]
     v = sr.verdict(h, KEY)
     assert v["n_clean"] == 2 and not v["pass"]
+
+
+def test_real_history_round5_pass_on_shipped_package():
+    """Lock the disclosed round-5 outcome on the recorded history: package
+    ba5019462c06 PASSES (>= 3 clean, median >= 0.8, last two >= 0.8), and
+    the two foreground_load-annotated draws (0.928 / 0.953 — completed
+    while the repo's own tests/bench ran in the sandbox) are excluded from
+    the clean set in both directions."""
+    hist = sr.load_history()
+    key = {
+        "pkg_hash": "ba5019462c06",
+        "sf_dir": "/root/testdata/sf0.1",
+        "lo": 2,
+        "hi": 8,
+    }
+    v = sr.verdict(hist, key)
+    if v["n_clean"] == 0:  # history file trimmed in some checkouts
+        return
+    flagged = [
+        h
+        for h in hist
+        if h.get("pkg_hash") == key["pkg_hash"] and h.get("foreground_load")
+    ]
+    assert len(flagged) == 2
+    assert not any(h in v["clean"] for h in flagged)
+    assert v["pass"] and v["median_eff"] >= 0.8 and v["n_clean"] >= 3
