@@ -431,6 +431,51 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused text-analysis projection — lang-ID + quality + token counts +
+    fingerprint in ONE zero-shuffle pass over documents (the four operators
+    are independent per-row projections, so fusing them is the plan a
+    production run wants anyway: one scan, one codegen stage). Registered as
+    one driver query so all four families fit the driver's 50-entry
+    correctness window alongside the streaming/resume planes (r5);
+    tests/test_driver_contract.py locks this fused projection
+    column-for-column to the four individual package operators."""
+    d = _docs(spark, sf_dir)
+    scores = textstats.lang_scores_sql("text")
+    q = textstats.quality_sql("text")
+    t = textstats.token_counts_sql("text")
+    return d.select(
+        "doc_id",
+        F.expr(textstats.lang_pred_sql("text")).alias("pred_lang"),
+        *[
+            F.expr(scores[lang]).cast("int").alias(f"hits_{lang}")
+            for lang in textstats.LANG_ORDER
+        ],
+        *[F.expr(expr).alias(name) for name, expr in q.items()],
+        F.expr(textstats.quality_score_sql("text")).alias("quality"),
+        *[F.expr(expr).alias(name) for name, expr in t.items()],
+        F.expr(textstats.fingerprint_sql("text")).alias("fingerprint"),
+    )
+
+
+def _text_stats_oracle() -> str:
+    scores = textstats.lang_scores_sql("text", "duckdb")
+    q = textstats.quality_sql("text", "duckdb")
+    t = textstats.token_counts_sql("text", "duckdb")
+    cols = ", ".join(
+        [f"{textstats.lang_pred_sql('text', 'duckdb')} AS pred_lang"]
+        + [
+            f"CAST({scores[lang]} AS INT) AS hits_{lang}"
+            for lang in textstats.LANG_ORDER
+        ]
+        + [f"{expr} AS {name}" for name, expr in q.items()]
+        + [f"{textstats.quality_score_sql('text', 'duckdb')} AS quality"]
+        + [f"{expr} AS {name}" for name, expr in t.items()]
+        + [f"{textstats.fingerprint_sql('text', 'duckdb')} AS fingerprint"]
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
 def _q_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absorbs the former media_meta projection (format + n_bytes) so both
     # S-metadata views share one window slot — freed for frame_sample (r4).
@@ -453,6 +498,98 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(
         multimodal.synth_images(_docs(spark, sf_dir))
     )
+
+
+# --------------------------------------------------------------------------
+# streaming + resume planes, driver-checked (round 5): the micro-batch replay
+# and the crash+resume run must converge to the SAME tables the batch oracles
+# describe — the cross-engine hash check the driver already applies to the
+# batch queries, extended to the planes that previously had pytest-only
+# evidence (W1/W2 streaming, S5/P2/P3/W6 resume).
+# --------------------------------------------------------------------------
+
+def _scratch_dir(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _q_kg_edges_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — the sf corpus replayed as parquet micro-batches (6 files,
+    maxFilesPerTrigger=4 -> 2 triggers) through the fused streaming KG job;
+    the merged sink table must hash-match the batch kg_edges oracle
+    (ref watch daemon: cli/watch.go:2007-2133 re-indexes changed files into
+    the same store the batch indexer writes)."""
+    from grepai_spark import streaming
+    from grepai_spark.storage import Catalog
+
+    base = _scratch_dir("grepai_kg_stream_")
+    src = f"{base}/src"
+    load_transcripts(spark, sf_dir).repartition(6).write.parquet(src)
+    streaming.incremental_kg_edges(
+        spark, src, f"{base}/out", f"{base}/ck", alias_dict_df(spark)
+    )
+    return (
+        Catalog(spark, f"{base}/out")
+        .read(streaming.KG_EDGES_TABLE)
+        .select("subj", "pred", "obj", "conv_id", "turn_idx", "weight")
+    )
+
+
+def _q_kg_edges_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/P2/P3/W6 — kill the checkpointed pipeline after its mentions stage,
+    then resume into the same catalog; the persisted edge table after the
+    resumed run must hash-match the batch kg_edges oracle, and the resume
+    must be a true skip (zero mentions buckets recomputed), not a re-run
+    (ref resume gate: indexer/indexer.go:161-164 mod-time + content-hash)."""
+    base = _scratch_dir("grepai_resume_")
+    t = load_transcripts(spark, sf_dir)
+    d = alias_dict_df(spark)
+    try:
+        pipeline.run(spark, t, d, base, fail_after="mentions")
+    except pipeline.InjectedFailure:
+        pass
+    res = pipeline.run(spark, t, d, base)
+    if res.counters["mentions_buckets_pending"] != 0:
+        raise AssertionError(
+            "resume recomputed mentions buckets instead of skipping them"
+        )
+    return res.edges.select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "weight"
+    )
+
+
+def _q_conv_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/S8 — the applyInPandasWithState running per-conversation counters,
+    drained over the replayed corpus; the final merged state table must
+    hash-match a plain GROUP BY over the same transcripts (state arithmetic
+    == batch aggregation when every row is delivered exactly once)."""
+    from grepai_spark import streaming
+    from grepai_spark.storage import Catalog
+
+    base = _scratch_dir("grepai_conv_stats_")
+    src = f"{base}/src"
+    load_transcripts(spark, sf_dir).repartition(6).write.parquet(src)
+    streaming.conversation_stats_stream(
+        spark, src, f"{base}/out", f"{base}/ck"
+    )
+    return (
+        Catalog(spark, f"{base}/out")
+        .read(streaming.CONV_STATS_TABLE)
+        .select("conv_id", "turn_count", "tool_calls", "last_turn_idx")
+    )
+
+
+def _conv_stats_oracle() -> str:
+    return f"""
+SELECT conv_id,
+       COUNT(*) AS turn_count,
+       CAST(SUM(CASE WHEN COALESCE(tool, '') <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS tool_calls,
+       CAST(MAX(turn_idx) AS BIGINT) AS last_turn_idx
+FROM ({oracles.TRANSCRIPTS_REL}) t
+GROUP BY conv_id
+"""
 
 
 # Deterministic 64-dim query vector for the ANN queries over the driver's
@@ -505,13 +642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine": _q_near_dup_cosine,
         "near_dup_lsh": _q_near_dup_lsh,
         "corpus_clean": _q_corpus_clean,
-        "lang_id": _q_lang_id,
-        "text_quality": _q_text_quality,
-        "token_counts": _q_token_counts,
-        "doc_fingerprint": _q_doc_fingerprint,
+        "text_stats": _q_text_stats,
         "frame_meta": _q_frame_meta,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "kg_edges_streamed": _q_kg_edges_streamed,
+        "kg_edges_resumed": _q_kg_edges_resumed,
+        "conv_stats_stateful": _q_conv_stats_stateful,
     }
 
 
@@ -582,11 +719,13 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_cosine": ann.near_dup_cosine_pairs_oracle(),
         "near_dup_lsh": ann.near_dup_lsh_pairs_oracle(),
         "corpus_clean": corpus.corpus_clean_oracle(),
-        "lang_id": textstats.lang_id_oracle(),
-        "text_quality": textstats.text_quality_oracle(),
-        "token_counts": textstats.token_counts_oracle(),
-        "doc_fingerprint": textstats.doc_fingerprint_oracle(),
+        "text_stats": _text_stats_oracle(),
         "frame_meta": multimodal.frame_meta_oracle(),
         "media_features": multimodal.image_features_oracle(),
         "frame_sample": multimodal.frame_sample_oracle(),
+        # the streaming and resume planes converge to the batch tables, so
+        # they are checked against the SAME batch SQL truth
+        "kg_edges_streamed": oracles.kg_edges_oracle(),
+        "kg_edges_resumed": oracles.kg_edges_oracle(),
+        "conv_stats_stateful": _conv_stats_oracle(),
     }

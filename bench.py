@@ -68,8 +68,11 @@ def main() -> None:
         "ann_lsh_topk",
         "ivf_topk",
         "conv_tool_profile",
-        "text_quality",
-        "doc_fingerprint",
+        # r5: the four per-doc text-analysis projections are registered as
+        # one fused query (text_stats); its wall ~= the sum of the former
+        # text_quality + doc_fingerprint + lang_id + token_counts columns
+        # computed in a single scan, so r4/r5 per-name walls don't compare.
+        "text_stats",
         "verb_object_features",
         "near_dup_lsh",
         "drift_placements",

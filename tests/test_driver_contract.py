@@ -5,7 +5,11 @@ The driver's correctness window covers 50 entries and records a full
 rows+schema+hash comparison only for queries with an oracle_sql() entry —
 so every registered query must carry an oracle (round 4 closed the last
 rows-only gap, frame_sample), and the count must stay exactly at the
-window size.
+window size. Round 5 freed three slots for the streaming/resume-plane
+queries (kg_edges_streamed, kg_edges_resumed, conv_stats_stateful) by
+fusing the four per-doc text-analysis projections into one `text_stats`
+query; the fused projection is locked column-for-column to the four
+package operators below.
 """
 
 from __future__ import annotations
@@ -25,6 +29,41 @@ def test_every_query_is_oracle_backed_and_window_sized():
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
         assert callable(qs[name]), name
+
+
+def test_text_stats_fusion_matches_individual_operators(spark):
+    """The fused text_stats driver query must equal the four package
+    operators joined on doc_id, column for column — the fusion is a plan
+    optimization (one scan instead of four), never a semantic variant."""
+    from grepai_spark import textstats
+    from grepai_spark.synth import read_parallel
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = read_parallel(spark, f"{sf_dir}/documents.parquet")
+    fused = entry._q_text_stats(spark, sf_dir)
+    joined = (
+        textstats.lang_id(docs)
+        .join(textstats.text_quality(docs), "doc_id")
+        .join(textstats.token_counts(docs), "doc_id")
+        .join(textstats.doc_fingerprint(docs), "doc_id")
+        .select(*fused.columns)
+    )
+    assert fused.columns == joined.columns
+    a = sorted(tuple(r) for r in fused.collect())
+    b = sorted(tuple(r) for r in joined.collect())
+    assert a == b
+
+
+def test_text_stats_single_scan_zero_shuffle(spark):
+    """The fusion's point at 100 TB: one parquet scan, no exchange."""
+    plan = (
+        entry._q_text_stats(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Relation") == 1, plan
+    assert "Exchange" not in plan and "Join" not in plan, plan
 
 
 def test_stored_input_table_matches_synthesis(spark):
