@@ -440,7 +440,13 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness window alongside the streaming/resume planes (r5);
     tests/test_driver_contract.py locks this fused projection
     column-for-column to the four individual package operators."""
-    d = _docs(spark, sf_dir)
+    return _text_stats_select(_docs(spark, sf_dir))
+
+
+def _text_stats_select(d: DataFrame) -> DataFrame:
+    """The fused projection over an arbitrary (doc_id, text) DataFrame —
+    split out so the dialect-parity property test can drive it with
+    adversarial corpora, not just the fixture documents table."""
     scores = textstats.lang_scores_sql("text")
     q = textstats.quality_sql("text")
     t = textstats.token_counts_sql("text")

@@ -26,6 +26,69 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _scaling_record() -> dict | None:
+    """The recorded two-parallelism scaling verdict for the EXACT package
+    content being benched, so BENCH_r*.json carries the scaling-efficiency
+    evidence (BASELINE.json north_rule: throughput at N and 4N cores +
+    efficiency) next to the single-level throughput numbers. NOT measured
+    in this process — sourced from the spark-submit campaign history
+    (tools/scaling_run.py writes tools/scaling_history.jsonl; narrative in
+    BASELINE.md). Keyed by grepai_spark CONTENT hash: if the package
+    changed since the last campaign, the verdict describes different code
+    and this returns the mismatch instead of stale numbers."""
+    import statistics
+    import tempfile
+
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import scaling_run as sr
+
+        pkg = sr.build_zip(tempfile.mktemp(suffix=".zip"))[:12]
+        key = {
+            "pkg_hash": pkg,
+            "sf_dir": "/root/testdata/sf0.1",
+            "lo": 2,
+            "hi": 8,
+        }
+        v = sr.verdict(sr.load_history(), key)
+        if not v["clean"]:
+            return {
+                "source": "tools/scaling_history.jsonl (spark-submit campaign)",
+                "pkg_hash": pkg,
+                "n_clean": 0,
+                "note": "no clean campaign invocations recorded for this "
+                "package content; see BASELINE.md",
+            }
+        clean = v["clean"]
+        effs = [sr.entry_eff(h) for h in clean]
+        return {
+            "source": "tools/scaling_history.jsonl (spark-submit campaign)",
+            "pkg_hash": pkg,
+            "cores": {"lo": key["lo"], "hi": key["hi"]},
+            "n_turns": clean[-1].get("n_turns"),
+            "median_tps_lo": round(
+                statistics.median(
+                    h["n_turns"] / h["wall_lo"] for h in clean
+                ),
+                1,
+            ),
+            "median_tps_hi": round(
+                statistics.median(
+                    h["n_turns"] / h["wall_hi"] for h in clean
+                ),
+                1,
+            ),
+            "clean_effs": effs,
+            "median_eff": v["median_eff"],
+            "n_clean": v["n_clean"],
+            "pass": v["pass"],
+        }
+    except Exception as exc:  # never fail the bench over the annex block
+        return {"error": str(exc)[:200]}
+
+
 def _force(df) -> int:
     """Execute the full plan. noop write evaluates every output column
     (count() would let Catalyst prune deterministic projections)."""
@@ -151,6 +214,7 @@ def main() -> None:
                 "probe_sec_start": probe_start,
                 "probe_sec_end": probe_end,
                 "passes": passes_run,
+                "scaling": _scaling_record(),
             }
         )
     )
