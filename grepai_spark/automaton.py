@@ -28,11 +28,15 @@ the pickled task command stays small at any dictionary size.
 
 Boundary semantics are identical in BOTH regimes: an occurrence counts iff
 its neighbors are outside the ASCII word set (``WORD_CHARS``), checked at
-every literal occurrence. This is the same predicate Java's and RE2's
-default ``\\b`` apply in the Spark/DuckDB oracles; the small regime uses no
-Unicode-aware fallback, so crossing AUTOMATON_CUTOFF can never change
-detection output (aliases are expected to be ASCII — the dictionary loader's
-domain — and non-ASCII text neighbors are non-word in every engine here).
+every literal occurrence. RE2's default ``\\b`` applies the same ASCII
+predicate in the DuckDB oracle; Java's ``\\b`` does NOT (it is
+Unicode-aware even without UNICODE_CHARACTER_CLASS, so a non-ASCII letter
+beside the alias suppresses the boundary), which is why the Spark oracle
+dialect spells the boundary as explicit ASCII lookarounds
+(extract.mentions_oracle_sql). The small regime uses no Unicode-aware
+fallback, so crossing AUTOMATON_CUTOFF can never change detection output
+(aliases are expected to be ASCII — the dictionary loader's domain — and
+non-ASCII text neighbors are non-word in the detector and both oracles).
 """
 
 from __future__ import annotations

@@ -302,9 +302,18 @@ def mentions_oracle_sql(transcripts_rel: str, dialect: str) -> str:
 
     masked = FENCE_MASK_SQL[dialect]("t.text")
     if dialect == "spark":
-        boundary = f"{masked} rlike concat('\\\\b', d.alias, '\\\\b')"
+        # NOT '\b': Java's \b is Unicode-aware (a non-ASCII letter next to
+        # the alias suppresses the boundary) while the detector and RE2 are
+        # ASCII-only — explicit ASCII lookarounds keep all three engines
+        # agreeing on unicode-flanked aliases (tests/test_mentions_dialect).
+        boundary = (
+            f"{masked} rlike concat('(?<![0-9A-Za-z_])', d.alias,"
+            f" '(?![0-9A-Za-z_])')"
+        )
         strpos = "instr(t.text, d.alias)"
     else:
+        # RE2's \b is ASCII-only (and RE2 has no lookarounds), so \b IS the
+        # detector's predicate here.
         boundary = f"regexp_matches({masked}, '\\b' || d.alias || '\\b')"
         strpos = "strpos(t.text, d.alias)"
     return f"""

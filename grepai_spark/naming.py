@@ -62,11 +62,16 @@ def norm_tokens_col(col: str) -> Column:
 
 
 def norm_key_sql(col: str, dialect: str = "spark") -> str:
-    """Canonical join key: tokens joined by '_' (e.g. FetchData == fetch_data)."""
+    """Canonical join key: tokens joined by '_' (e.g. FetchData == fetch_data).
+
+    Zero-token names key to '' in all three engines: Spark's array_join and
+    the python twin produce '' natively; DuckDB's string_agg of an empty
+    list is NULL, so it is coalesced (tests/test_naming_dialect locks the
+    three-way agreement on hostile names)."""
     arr = norm_tokens_sql(col, dialect)
     if dialect == "spark":
         return f"array_join({arr}, '_')"
-    return f"list_aggregate({arr}, 'string_agg', '_')"
+    return f"coalesce(list_aggregate({arr}, 'string_agg', '_'), '')"
 
 
 def py_norm_key(name: str) -> str:
@@ -84,14 +89,20 @@ def py_first_token(name: str) -> str:
 
 
 def first_token_sql(col: str, dialect: str = "spark") -> str:
-    """SQL twin of :func:`py_first_token`."""
+    """SQL twin of :func:`py_first_token`.
+
+    Zero-token names (all punctuation / non-ASCII) block to '' like the
+    python twin — NOT a bare element_at, which THROWS under Spark 4's ANSI
+    mode on the empty array (a single degenerate name would kill a whole
+    linking job at scale), and NOT DuckDB's native NULL, which an equi-join
+    on the blocking key silently drops."""
     if dialect == "spark":
         g1, g2 = "$1", "$2"
         split = f"split(lower(regexp_replace(regexp_replace({col}, '{_ACRO}', '{g1} {g2}'), '{_CAMEL}', '{g1} {g2}')), '{_SEP}')"
-        return f"element_at(filter({split}, x -> x != ''), 1)"
+        return f"coalesce(try_element_at(filter({split}, x -> x != ''), 1), '')"
     g1, g2 = "\\1", "\\2"
     split = f"regexp_split_to_array(lower(regexp_replace(regexp_replace({col}, '{_ACRO}', '{g1} {g2}', 'g'), '{_CAMEL}', '{g1} {g2}', 'g')), '{_SEP}')"
-    return f"list_filter({split}, x -> x != '')[1]"
+    return f"coalesce(list_filter({split}, x -> x != '')[1], '')"
 
 
 def jaccard_sql(a: str, b: str, dialect: str = "spark") -> str:
