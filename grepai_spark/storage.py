@@ -233,3 +233,63 @@ class Catalog:
             kept.unionByName(updates.select(*kept.columns)),
             partition_by=partition_by,
         )
+
+    def replace_by_scope(
+        self,
+        table: str,
+        updates: DataFrame,
+        scope: DataFrame,
+        scope_keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Re-index merge (Iceberg: MERGE INTO ... WHEN MATCHED THEN DELETE
+        followed by an insert): every existing row whose `scope_keys` match a
+        row of `scope` is deleted, then ALL of `updates` is inserted.
+
+        The difference from merge_by_key matters exactly when a scope unit is
+        REDELIVERED WITH DIFFERENT CONTENT: merge_by_key only overwrites keys
+        the new batch still produces, so derived rows the new content no
+        longer yields (an edge whose tool call was edited away) would survive
+        as stale truth. Scope replacement is the reference's re-index-on-
+        modify semantics (cli/watch.go:2007-2133 drops a changed file's old
+        records and re-extracts): `scope` is the set of source units the
+        batch delivered (e.g. distinct (bucket, conv_id, turn_idx) of the
+        arriving turns), independent of how many derived rows each produced —
+        including zero.
+
+        Cost shape matches merge_by_key's middle regime: only the partitions
+        named by `scope` are read back and swapped — O(dirty buckets), never
+        O(table).
+        """
+        if not self.exists(table):
+            self.overwrite(table, updates, partition_by=partition_by)
+            return
+        scope = scope.select(*scope_keys).distinct()
+        if (
+            partition_by
+            and set(partition_by) < set(scope_keys)
+            and self._is_partitioned_by(table, partition_by[0])
+        ):
+            dirty = [
+                tuple(r) for r in scope.select(*partition_by).distinct().collect()
+            ]
+            if not dirty:
+                return
+            cond = None
+            for vals in dirty:
+                c = F.lit(True)
+                for col, v in zip(partition_by, vals):
+                    c = c & (F.col(col) == F.lit(v))
+                cond = c if cond is None else (cond | c)
+            existing_dirty = self.read(table).where(cond)
+            kept = existing_dirty.join(scope, on=scope_keys, how="left_anti")
+            merged = kept.unionByName(updates.select(*kept.columns))
+            self._overwrite_partitions(table, merged, partition_by)
+            return
+        existing = self.read(table)
+        kept = existing.join(scope, on=scope_keys, how="left_anti")
+        self.overwrite(
+            table,
+            kept.unionByName(updates.select(*kept.columns)),
+            partition_by=partition_by,
+        )

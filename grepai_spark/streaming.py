@@ -11,12 +11,24 @@ incremental unit is the micro-batch:
       -> foreachBatch: extract call triples + merge idempotently by
          (conv_id, turn_idx, obj) into the edges store
 
-foreachBatch + key-based MERGE gives exactly-once *effective* semantics on
-top of at-least-once delivery — re-delivered turns upsert the same keys, the
-analog of the reference's content-hash re-index gate
-(/root/reference/indexer/indexer.go:161-164). No watermark is needed: the
-pipeline has no event-time aggregation, only stable (conv_id, turn_idx) keys
-(SURVEY.md §2.13).
+foreachBatch + scope-keyed MERGE gives exactly-once *effective* semantics on
+top of at-least-once delivery, INCLUDING redelivery with modified content:
+each micro-batch replaces every derived row of the turns it carries
+(storage.Catalog.replace_by_scope — delete the turn's old rows, insert the
+new extraction), the analog of the reference's re-index-on-modify
+(cli/watch.go:2007-2133 drops a changed file's records and re-extracts;
+content-hash gate indexer/indexer.go:161-164). A modified turn therefore
+converges the sink to the batch truth over the LATEST content — stale edges
+the new content no longer yields are dropped, not merely shadowed. No
+watermark is needed: the pipeline has no event-time aggregation, only stable
+(conv_id, turn_idx) keys (SURVEY.md §2.13).
+
+Every job takes a `trigger`: the default availableNow drains what exists and
+stops (the driver's correctness window and the tests run this), while a
+processingTime trigger is the WATCH DAEMON mode — the stream keeps polling
+the source forever, exactly like the reference's fsnotify loop
+(cli/watch.go:1140, watcher/watcher.go:44-77); callers get the live
+StreamingQuery back and own its lifecycle.
 
 Every sink table is BUCKETED on conv_id (the same xxhash64 bucketing the
 batch pipeline's lineage uses), and the per-micro-batch MERGE includes the
@@ -30,6 +42,7 @@ that keeps up and one that falls progressively behind.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from grepai_spark import extract, lineage
 from grepai_spark.schemas import TRANSCRIPTS
@@ -37,6 +50,39 @@ from grepai_spark.storage import Catalog
 
 EDGES_TABLE = "edges_stream"
 STREAM_BUCKETS = 16
+
+# modification stamps are second-granular in the fixtures; ties broken on
+# content so the winner is deterministic however files land in batches
+_VERSION_COLS = ("ts", "role", "text", "tool")
+
+
+def _latest_version(batch: DataFrame) -> DataFrame:
+    """Collapse a micro-batch to one row per (conv_id, turn_idx): the LATEST
+    version by ts (content tie-break). A batch normally carries each turn
+    once — the file source reads every file exactly once — but a redelivered
+    modification can land in the same trigger as its original; extracting
+    both would race two versions into one MERGE. The groupBy touches only
+    the micro-batch (never the sink table), so its shuffle is bounded by the
+    trigger size."""
+    return (
+        batch.groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.struct(*_VERSION_COLS)).alias("m"))
+        .select("conv_id", "turn_idx", "m.role", "m.text", "m.tool", "m.ts")
+    )
+
+
+def _start(stream_writer, checkpoint_dir: str, trigger: dict | None):
+    """Start with the batch-drain trigger (availableNow, awaited) or a
+    daemon trigger (processingTime, returned live)."""
+    trigger = trigger or {"availableNow": True}
+    q = (
+        stream_writer.option("checkpointLocation", checkpoint_dir)
+        .trigger(**trigger)
+        .start()
+    )
+    if trigger.get("availableNow"):
+        q.awaitTermination()
+    return q
 
 
 def _migrate_bucketed(
@@ -68,26 +114,30 @@ def incremental_call_edges(
     source_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-) -> None:
-    """Drain all available transcript files from `source_dir` into the edges
-    store, one idempotent MERGE per micro-batch, then stop (availableNow —
-    the batch-drain trigger; a daemon would use a processingTime trigger).
+    trigger: dict | None = None,
+):
+    """Drain transcript files from `source_dir` into the edges store, one
+    idempotent scope-replacing MERGE per micro-batch; availableNow stops
+    after the drain, processingTime keeps watching (daemon mode).
 
     The streaming source tracks processed files in the checkpoint, so a
-    second invocation only reads NEW files — the resume gate the reference
+    restarted job only reads NEW files — the resume gate the reference
     implements with mod-time + content-hash checks.
     """
     catalog = Catalog(spark, out_dir)
     _migrate_bucketed(catalog, EDGES_TABLE)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        calls = lineage.with_bucket(
-            extract.call_triples(batch), STREAM_BUCKETS
+        turns = _latest_version(batch)
+        scope = lineage.with_bucket(
+            turns.select("conv_id", "turn_idx"), STREAM_BUCKETS
         )
-        catalog.merge_by_key(
+        calls = lineage.with_bucket(extract.call_triples(turns), STREAM_BUCKETS)
+        catalog.replace_by_scope(
             EDGES_TABLE,
             calls,
-            ["bucket", "conv_id", "turn_idx", "obj"],
+            scope,
+            ["bucket", "conv_id", "turn_idx"],
             partition_by=["bucket"],
         )
 
@@ -96,13 +146,9 @@ def incremental_call_edges(
         .option("maxFilesPerTrigger", "4")  # debounce/batch-size analog
         .parquet(source_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _start(
+        stream.writeStream.foreachBatch(merge_batch), checkpoint_dir, trigger
     )
-    q.awaitTermination()
 
 
 KG_EDGES_TABLE = "kg_edges_stream"
@@ -114,13 +160,18 @@ def incremental_kg_edges(
     out_dir: str,
     checkpoint_dir: str,
     alias_dict: DataFrame,
-) -> None:
+    trigger: dict | None = None,
+):
     """Full fused KG derivation (calls + canonicalized mention/does edges)
     as a streaming job: the alias -> (pred, entity_id) map is computed ONCE
     (the dictionary does not change per micro-batch), then every batch runs
-    the same zero-shuffle narrow map as the batch flagship and MERGEs by
-    edge key — idempotent under re-delivery, exactly like the batch
-    pipeline's lineage-gated resume (W2 analog, ref cli/watch.go:2007-2133).
+    the same zero-shuffle narrow map as the batch flagship and replaces the
+    edge set of every turn it carries (replace_by_scope) — idempotent under
+    re-delivery AND convergent under redelivered MODIFICATIONS, exactly like
+    the reference's watch daemon re-indexing a changed file (W1/W2 analog,
+    ref cli/watch.go:2007-2133). With a processingTime trigger this IS the
+    daemon: the returned StreamingQuery keeps folding new/changed transcript
+    files into the store until stopped.
     """
     from grepai_spark import pipeline
 
@@ -129,13 +180,18 @@ def incremental_kg_edges(
     amap = pipeline.alias_entity_map(alias_dict)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        edges = lineage.with_bucket(
-            pipeline.kg_edges_from_map(batch, amap), STREAM_BUCKETS
+        turns = _latest_version(batch)
+        scope = lineage.with_bucket(
+            turns.select("conv_id", "turn_idx"), STREAM_BUCKETS
         )
-        catalog.merge_by_key(
+        edges = lineage.with_bucket(
+            pipeline.kg_edges_from_map(turns, amap), STREAM_BUCKETS
+        )
+        catalog.replace_by_scope(
             KG_EDGES_TABLE,
             edges,
-            ["bucket", "conv_id", "turn_idx", "pred", "obj"],
+            scope,
+            ["bucket", "conv_id", "turn_idx"],
             partition_by=["bucket"],
         )
 
@@ -144,13 +200,9 @@ def incremental_kg_edges(
         .option("maxFilesPerTrigger", "4")
         .parquet(source_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _start(
+        stream.writeStream.foreachBatch(merge_batch), checkpoint_dir, trigger
     )
-    q.awaitTermination()
 
 
 CONV_STATS_TABLE = "conv_stats_stream"
@@ -161,7 +213,8 @@ def conversation_stats_stream(
     source_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-) -> None:
+    trigger: dict | None = None,
+):
     """Custom STATEFUL streaming operator (applyInPandasWithState): running
     per-conversation counters (turns seen, tool calls, max turn_idx) that
     survive across micro-batches AND restarts via the state store — the
@@ -169,6 +222,12 @@ def conversation_stats_stream(
     (S8, /root/reference/stats/recorder.go) combined with its dirty-set
     tracking (cli/watch.go:476-688). State is keyed by conv_id, so a
     mega-thread's state is one small tuple regardless of its turn count.
+
+    Counting state is inherently delivery-sensitive: a REDELIVERED turn
+    increments the counters again (the state plane has no per-turn identity
+    by design — it is O(1) per conversation). Exactly-once file delivery,
+    which the checkpointed file source provides, is the operating envelope;
+    content-replacement semantics live in the edge jobs above.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -216,11 +275,8 @@ def conversation_stats_stream(
             partition_by=["bucket"],
         )
 
-    q = (
-        updates.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    return _start(
+        updates.writeStream.foreachBatch(merge_batch).outputMode("update"),
+        checkpoint_dir,
+        trigger,
     )
-    q.awaitTermination()

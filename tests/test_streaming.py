@@ -188,12 +188,14 @@ def test_streaming_merge_rewrites_only_dirty_buckets(
     before = _bucket_file_mtimes(table_dir)
     assert before, "expected bucket=N partition layout"
 
-    # buckets the second slice will touch (only conv-b has tool turns)
-    calls2 = lineage.with_bucket(
-        extract.call_triples(second), streaming.STREAM_BUCKETS
-    )
-    dirty = {r["bucket"] for r in calls2.select("bucket").distinct().collect()}
-    assert dirty, "fixture must produce second-slice call edges"
+    # buckets the second slice will touch. Scope-replacing MERGE (round 6)
+    # dirties the bucket of EVERY delivered turn — including turns whose new
+    # extraction is empty, whose old rows it must be able to clear — so the
+    # dirty set is keyed by the delivered conversations, not just those
+    # producing call edges.
+    scope2 = lineage.with_bucket(second, streaming.STREAM_BUCKETS)
+    dirty = {r["bucket"] for r in scope2.select("bucket").distinct().collect()}
+    assert dirty, "fixture must deliver second-slice turns"
 
     _write_slice(second, f"{src}/slice2")
     streaming.incremental_call_edges(spark, f"{src}/slice*", out, ck)
@@ -254,6 +256,146 @@ def test_stream_resumes_over_unbucketed_legacy_table(
         (r["conv_id"], r["turn_idx"], r["obj"])
         for r in extract.call_triples(tiny_transcripts).collect()
     }
+
+
+def _edge_set(df):
+    return {
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in df.collect()
+    }
+
+
+def test_daemon_trigger_reindexes_modified_turns(
+    spark, tiny_transcripts, tmp_path
+):
+    """W1/W2 daemon mode (VERDICT r5 #5): a processingTime-trigger stream is
+    the watch daemon — it keeps folding arriving files in until stopped —
+    and redelivering a MODIFIED turn must converge the sink to the batch
+    truth over the LATEST content (ref cli/watch.go:2007-2133 re-index on
+    modify). Two modifications are pushed through the live stream: one that
+    REWRITES a turn's edges (old tool call gone, new mention appears) and
+    one that leaves the turn with ZERO edges (every old row must vanish —
+    the case an upsert-by-produced-key merge can never handle)."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    from grepai_spark import pipeline
+    from grepai_spark.synth import alias_dict_df
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ck = str(tmp_path / "dck")
+    os.makedirs(src, exist_ok=True)
+    d = alias_dict_df(spark)
+    schema = tiny_transcripts.schema
+
+    def wait_for(want: set, deadline_s: float = 180.0) -> set:
+        cat = Catalog(spark, out)
+        end = time.monotonic() + deadline_s
+        got = set()
+        while time.monotonic() < end:
+            try:  # reads can race a partition swap mid-trigger
+                got = _edge_set(
+                    cat.read(streaming.KG_EDGES_TABLE).select(
+                        "subj", "pred", "obj", "conv_id", "turn_idx"
+                    )
+                )
+            except Exception:
+                got = set()
+            if got == want:
+                return got
+            time.sleep(0.5)
+        return got
+
+    _write_slice(tiny_transcripts, f"{src}/slice1")
+    q = streaming.incremental_kg_edges(
+        spark,
+        f"{src}/slice*",
+        out,
+        ck,
+        d,
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        assert q.isActive
+        want0 = _edge_set(pipeline.kg_edges_df(spark, tiny_transcripts, d))
+        assert wait_for(want0) == want0
+
+        # modification 1: conv-a turn 1 loses its tool call, gains a mention
+        later = datetime.datetime(2024, 1, 2)
+        mod1 = spark.createDataFrame(
+            [("conv-a", 1, "assistant", "done, used FetchData", "", later)],
+            schema=schema,
+        )
+        _write_slice(mod1, f"{src}/slice2")
+        t1 = tiny_transcripts.where(
+            ~((F.col("conv_id") == "conv-a") & (F.col("turn_idx") == 1))
+        ).unionByName(mod1)
+        want1 = _edge_set(pipeline.kg_edges_df(spark, t1, d))
+        assert want1 != want0
+        assert wait_for(want1) == want1
+
+        # modification 2: the same turn becomes inert (zero edges)
+        mod2 = spark.createDataFrame(
+            [("conv-a", 1, "assistant", "nothing to see", "",
+              later + datetime.timedelta(hours=1))],
+            schema=schema,
+        )
+        _write_slice(mod2, f"{src}/slice3")
+        t2 = tiny_transcripts.where(
+            ~((F.col("conv_id") == "conv-a") & (F.col("turn_idx") == 1))
+        ).unionByName(mod2)
+        want2 = _edge_set(pipeline.kg_edges_df(spark, t2, d))
+        assert not any(
+            c == "conv-a" and t == 1 for _, _, _, c, t in want2
+        )
+        assert wait_for(want2) == want2
+    finally:
+        q.stop()
+
+
+def test_same_batch_conflicting_redelivery_resolves_to_latest(
+    spark, tiny_transcripts, tmp_path
+):
+    """Both versions of a turn landing in ONE micro-batch must resolve to
+    the latest ts deterministically (streaming._latest_version), not race
+    two versions into the merge."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from grepai_spark import pipeline
+    from grepai_spark.synth import alias_dict_df
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ck = str(tmp_path / "cck")
+    os.makedirs(src, exist_ok=True)
+    d = alias_dict_df(spark)
+
+    mod = spark.createDataFrame(
+        [("conv-a", 1, "assistant", "edited: call QueryParser", "",
+          datetime.datetime(2024, 1, 2))],
+        schema=tiny_transcripts.schema,
+    )
+    # one drain, both files available: maxFilesPerTrigger=4 puts the
+    # original and the modification in the same trigger
+    _write_slice(tiny_transcripts, f"{src}/slice1")
+    _write_slice(mod, f"{src}/slice2")
+    streaming.incremental_kg_edges(spark, f"{src}/slice*", out, ck, d)
+
+    truth_t = tiny_transcripts.where(
+        ~((F.col("conv_id") == "conv-a") & (F.col("turn_idx") == 1))
+    ).unionByName(mod)
+    want = _edge_set(pipeline.kg_edges_df(spark, truth_t, d))
+    got = _edge_set(
+        Catalog(spark, out)
+        .read(streaming.KG_EDGES_TABLE)
+        .select("subj", "pred", "obj", "conv_id", "turn_idx")
+    )
+    assert got == want
 
 
 def test_streaming_kg_edges_match_duckdb_oracle_at_sf(spark, tmp_path):
