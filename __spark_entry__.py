@@ -51,10 +51,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries: each callable (spark, sf_dir) -> DataFrame
 # --------------------------------------------------------------------------
 
-def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_transcripts(spark, sf_dir)
-
-
 def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INPUT table. BASELINE's input_hint fixes the input as a stored
     (Iceberg) table of transcripts (conv_id, turn_idx, role, text, tool,
@@ -62,9 +58,9 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, so the derivation runs once per (session, sf_dir) into a
     stored table (the `_ann_store` pattern) and every query scans the
     store — charging the window-shuffle synthesis of the pipeline's own
-    input to each query would misstate what a production run reads.
-    `transcripts_synth` still measures (and oracle-checks) the derivation
-    itself."""
+    input to each query would misstate what a production run reads. The
+    derivation itself stays locked to synth.load_transcripts row-for-row by
+    tests/test_stores.py (its driver slot rotated out in round 6)."""
     return _ann_store(spark, sf_dir, "transcripts")
 
 
@@ -85,10 +81,6 @@ def _q_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link.link_mentions_exact(m, alias_dict_df(spark))
 
 
-def _q_alias_sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return alias_similarity_edges(alias_dict_df(spark))
-
-
 def _q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = alias_dict_df(spark)
     return canonical_map(d, alias_similarity_edges(d))
@@ -97,6 +89,19 @@ def _q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return pipeline.kg_edges_df(spark, t, alias_dict_df(spark))
+
+
+def _q_kg_edges_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with the MinHash-LSH-banded linking prefilter
+    (use_lsh=True) — the north rule's scale path for similarity linking,
+    previously pytest-only. The oracle replays the md5-keyed banding,
+    per-bucket cap and Jaccard verify in DuckDB (oracles.kg_edges_oracle
+    lsh=True), so the LSH candidate generation itself is hash-checked, not
+    just its downstream effect."""
+    t = _t(spark, sf_dir)
+    return pipeline.kg_edges_df(
+        spark, t, alias_dict_df(spark), use_lsh=True
+    )
 
 
 def _ser_aliases(df: DataFrame) -> DataFrame:
@@ -520,26 +525,47 @@ def _scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
+def _scratched(prefix: str, fn) -> DataFrame:
+    """Run `fn(base)` against a scratch dir, pin its result off-disk, and
+    ALWAYS remove the scratch (VERDICT r5 #9: each invocation previously
+    leaked three mkdtemp catalogs into /tmp across repeated correctness
+    runs). localCheckpoint(eager) materializes the returned rows into Spark
+    block storage, so the DataFrame stays collectable after the backing
+    parquet is gone — these are sf0.01-window results, not corpus-scale."""
+    import shutil
+
+    base = _scratch_dir(prefix)
+    try:
+        return fn(base).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_kg_edges_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 — the sf corpus replayed as parquet micro-batches (6 files,
     maxFilesPerTrigger=4 -> 2 triggers) through the fused streaming KG job;
     the merged sink table must hash-match the batch kg_edges oracle
     (ref watch daemon: cli/watch.go:2007-2133 re-indexes changed files into
-    the same store the batch indexer writes)."""
+    the same store the batch indexer writes). Round 6: each micro-batch
+    MERGE is the scope-replacing re-index (storage.replace_by_scope), so
+    the same job converges under redelivered modified turns — the daemon
+    (processingTime) trigger and the update test live in test_streaming."""
     from grepai_spark import streaming
     from grepai_spark.storage import Catalog
 
-    base = _scratch_dir("grepai_kg_stream_")
-    src = f"{base}/src"
-    load_transcripts(spark, sf_dir).repartition(6).write.parquet(src)
-    streaming.incremental_kg_edges(
-        spark, src, f"{base}/out", f"{base}/ck", alias_dict_df(spark)
-    )
-    return (
-        Catalog(spark, f"{base}/out")
-        .read(streaming.KG_EDGES_TABLE)
-        .select("subj", "pred", "obj", "conv_id", "turn_idx", "weight")
-    )
+    def go(base: str) -> DataFrame:
+        src = f"{base}/src"
+        load_transcripts(spark, sf_dir).repartition(6).write.parquet(src)
+        streaming.incremental_kg_edges(
+            spark, src, f"{base}/out", f"{base}/ck", alias_dict_df(spark)
+        )
+        return (
+            Catalog(spark, f"{base}/out")
+            .read(streaming.KG_EDGES_TABLE)
+            .select("subj", "pred", "obj", "conv_id", "turn_idx", "weight")
+        )
+
+    return _scratched("grepai_kg_stream_", go)
 
 
 def _q_kg_edges_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,21 +574,24 @@ def _q_kg_edges_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumed run must hash-match the batch kg_edges oracle, and the resume
     must be a true skip (zero mentions buckets recomputed), not a re-run
     (ref resume gate: indexer/indexer.go:161-164 mod-time + content-hash)."""
-    base = _scratch_dir("grepai_resume_")
-    t = load_transcripts(spark, sf_dir)
-    d = alias_dict_df(spark)
-    try:
-        pipeline.run(spark, t, d, base, fail_after="mentions")
-    except pipeline.InjectedFailure:
-        pass
-    res = pipeline.run(spark, t, d, base)
-    if res.counters["mentions_buckets_pending"] != 0:
-        raise AssertionError(
-            "resume recomputed mentions buckets instead of skipping them"
+
+    def go(base: str) -> DataFrame:
+        t = load_transcripts(spark, sf_dir)
+        d = alias_dict_df(spark)
+        try:
+            pipeline.run(spark, t, d, base, fail_after="mentions")
+        except pipeline.InjectedFailure:
+            pass
+        res = pipeline.run(spark, t, d, base)
+        if res.counters["mentions_buckets_pending"] != 0:
+            raise AssertionError(
+                "resume recomputed mentions buckets instead of skipping them"
+            )
+        return res.edges.select(
+            "subj", "pred", "obj", "conv_id", "turn_idx", "weight"
         )
-    return res.edges.select(
-        "subj", "pred", "obj", "conv_id", "turn_idx", "weight"
-    )
+
+    return _scratched("grepai_resume_", go)
 
 
 def _q_conv_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,17 +602,51 @@ def _q_conv_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grepai_spark import streaming
     from grepai_spark.storage import Catalog
 
-    base = _scratch_dir("grepai_conv_stats_")
-    src = f"{base}/src"
-    load_transcripts(spark, sf_dir).repartition(6).write.parquet(src)
-    streaming.conversation_stats_stream(
-        spark, src, f"{base}/out", f"{base}/ck"
-    )
-    return (
-        Catalog(spark, f"{base}/out")
-        .read(streaming.CONV_STATS_TABLE)
-        .select("conv_id", "turn_count", "tool_calls", "last_turn_idx")
-    )
+    def go(base: str) -> DataFrame:
+        src = f"{base}/src"
+        load_transcripts(spark, sf_dir).repartition(6).write.parquet(src)
+        streaming.conversation_stats_stream(
+            spark, src, f"{base}/out", f"{base}/ck"
+        )
+        return (
+            Catalog(spark, f"{base}/out")
+            .read(streaming.CONV_STATS_TABLE)
+            .select("conv_id", "turn_count", "tool_calls", "last_turn_idx")
+        )
+
+    return _scratched("grepai_conv_stats_", go)
+
+
+def _q_turn_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E6/C2/C3 — the embed plane inside the driver's cross-engine gate
+    (VERDICT r5 #8). Runs the cached encoder TWICE against a scratch
+    catalog: the first run must encode exactly its misses (no plan
+    re-execution), the second must be all cache hits with ZERO rows
+    re-encoded — the no-re-encode guarantee asserted in-window, like the
+    resume query's zero-recompute check. The returned per-bucket integer
+    checksums over the STORED vectors are recomputed from raw text by the
+    DuckDB oracle (embed.turn_vector_stats_oracle), covering hashing,
+    context prefix, truncation, tokenization and slot/sign placement."""
+    from grepai_spark import embed as embed_mod
+    from grepai_spark.storage import Catalog
+
+    def go(base: str) -> DataFrame:
+        cat = Catalog(spark, base)
+        t = _t(spark, sf_dir)
+        _, c1 = embed_mod.embed_with_cache(cat, t)
+        if c1["encoded_rows"] != c1["cache_misses"]:
+            raise AssertionError(
+                f"encoder ran {c1['encoded_rows']} rows for "
+                f"{c1['cache_misses']} misses (plan re-execution)"
+            )
+        _, c2 = embed_mod.embed_with_cache(cat, t)
+        if c2["cache_misses"] != 0 or c2["encoded_rows"] != 0:
+            raise AssertionError(
+                f"second run was not a pure cache hit: {c2}"
+            )
+        return embed_mod.vector_slot_stats(cat.read("embedding_cache"))
+
+    return _scratched("grepai_embed_", go)
 
 
 def _conv_stats_oracle() -> str:
@@ -598,20 +661,33 @@ GROUP BY conv_id
 """
 
 
+def _turn_vector_stats_oracle() -> str:
+    from grepai_spark import embed as embed_mod
+
+    return embed_mod.turn_vector_stats_oracle(oracles.TRANSCRIPTS_REL)
+
+
 # Deterministic 64-dim query vector for the ANN queries over the driver's
 # embeddings table (its vectors are 64-wide, unlike our 768-dim turn encoder).
 _QUERY_VEC64 = py_encode("scan filter join aggregate window", dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness window holds 50 entries. Round 6 rotates two
+    # slots (VERDICT r5 #4/#8): `transcripts_synth` out (the synthesis
+    # derivation stays pytest-locked to the stored table every remaining
+    # query scans — tests/test_stores.py) and `alias_sim_edges` out (its
+    # edge set is replayed verbatim inside the canonical_map / kg_edges /
+    # kg_vertices oracles' sim CTE, so L2 stays oracle-covered); in come
+    # `kg_edges_lsh` (the LSH-prefiltered linking path under its own
+    # banding-replay oracle) and `turn_vector_stats` (the embed plane).
     return {
-        "transcripts_synth": _q_transcripts,
         "call_triples": _q_call_triples,
         "mentions": _q_mentions,
         "link_exact": _q_link_exact,
-        "alias_sim_edges": _q_alias_sim_edges,
         "canonical_map": _q_canonical_map,
         "kg_edges": _q_kg_edges,
+        "kg_edges_lsh": _q_kg_edges_lsh,
         "kg_vertices": _q_kg_vertices,
         "co_invocation": _q_co_invocation,
         "cosine_topk": _q_cosine_topk,
@@ -655,18 +731,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_streamed": _q_kg_edges_streamed,
         "kg_edges_resumed": _q_kg_edges_resumed,
         "conv_stats_stateful": _q_conv_stats_stateful,
+        "turn_vector_stats": _q_turn_vector_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "transcripts_synth": oracles.transcripts_oracle(),
         "call_triples": oracles.call_triples_oracle(),
         "mentions": oracles.mentions_oracle(),
         "link_exact": oracles.link_exact_oracle(),
-        "alias_sim_edges": oracles.alias_sim_edges_oracle(),
         "canonical_map": oracles.canonical_map_oracle(),
         "kg_edges": oracles.kg_edges_oracle(),
+        "kg_edges_lsh": oracles.kg_edges_oracle(lsh=True),
         "kg_vertices": oracles.kg_vertices_oracle(),
         "co_invocation": oracles.co_invocation_oracle(),
         "cosine_topk": oracles.cosine_topk_oracle(
@@ -734,4 +810,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_streamed": oracles.kg_edges_oracle(),
         "kg_edges_resumed": oracles.kg_edges_oracle(),
         "conv_stats_stateful": _conv_stats_oracle(),
+        "turn_vector_stats": _turn_vector_stats_oracle(),
     }

@@ -21,7 +21,7 @@ uniformly distributed key — no skew by construction).
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -42,10 +42,33 @@ MAX_EMBED_CHARS = 2048
 
 
 def _token_slot(tok: str, dim: int) -> tuple[int, float]:
-    h = zlib.crc32(tok.encode("utf-8"))
+    """Slot assignment for one token: a 32-bit integer from the first 8 hex
+    chars of md5(token) picks the slot (mod dim) and the sign (bit 16).
+
+    md5-keyed ON PURPOSE (round 6; previously crc32): md5 hex is identical
+    in Python, Spark and DuckDB, so the whole encoder has an exact SQL twin
+    (:func:`slot_hash_sql`) and the embed plane joins the driver's
+    cross-engine correctness gate — the same lockstep-twin discipline the
+    dedup signatures follow (dedup.minhash_sql). crc32 exists in none of the
+    SQL engines here.
+    """
+    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
     idx = h % dim
     sign = 1.0 if (h >> 16) & 1 else -1.0
     return idx, sign
+
+
+def slot_hash_sql(tok_expr: str, dialect: str = "spark") -> str:
+    """SQL twin of the 32-bit slot hash: int(md5(tok)[:8], 16).
+
+    Slot index = hash % dim; sign = +1 iff (hash // 65536) % 2 == 1 — both
+    pure integer arithmetic downstream of this expression, so any aggregate
+    built on slots compares EXACTLY across engines (no float in sight).
+    """
+    if dialect == "spark":
+        # conv() returns a decimal string; the cast is ANSI-safe (digits only)
+        return f"CAST(conv(substring(md5({tok_expr}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr(md5({tok_expr}), 1, 8) AS BIGINT)"
 
 
 def py_encode(text: str, dim: int = EMBED_DIM) -> list[float]:
@@ -106,6 +129,104 @@ def make_encoder_udf(dim: int = EMBED_DIM, row_counter=None):
         return pd.Series(out)
 
     return encode
+
+
+def vector_slot_stats(cache: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Per-bucket integer checksums over STORED vectors — the embed plane's
+    driver-checkable surface (E1/E6).
+
+    Normalization divides the integer slot counts by a positive norm, so a
+    stored float vector still carries three exactly-recomputable integer
+    facts per hash: which slots are nonzero, and the index sums of the
+    positive and negative slots. Summed per content-hash bucket they form a
+    checksum an independent engine recomputes EXACTLY from the raw text
+    (:func:`turn_vector_stats_oracle`) — any slot misplacement, sign flip,
+    truncation drift or stale cache row changes some bucket's integers. All
+    arithmetic is integer; no float ever crosses the engine comparison.
+
+    Plan: one scan of the cache, per-row higher-order functions (zero
+    Python), a 16-group aggregate — nothing here grows with corpus size
+    except the scan.
+    """
+    nnz = F.expr("size(filter(vector, x -> x != 0))").cast("long")
+    pos = F.expr(
+        "aggregate(zip_with(vector, sequence(0, {n}), (v, i) ->"
+        " IF(v > 0, i, 0)), 0L, (a, x) -> a + x)".format(n=dim - 1)
+    )
+    neg = F.expr(
+        "aggregate(zip_with(vector, sequence(0, {n}), (v, i) ->"
+        " IF(v < 0, i, 0)), 0L, (a, x) -> a + x)".format(n=dim - 1)
+    )
+    return (
+        cache.select(
+            F.substring("content_hash", 1, 1).alias("bucket"),
+            nnz.alias("nnz"),
+            pos.alias("pos_idx"),
+            neg.alias("neg_idx"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_hashes"),
+            F.sum("nnz").alias("nnz_sum"),
+            F.sum("pos_idx").alias("pos_idx_sum"),
+            F.sum("neg_idx").alias("neg_idx_sum"),
+        )
+    )
+
+
+def turn_vector_stats_oracle(
+    transcripts_rel: str, dim: int = EMBED_DIM
+) -> str:
+    """DuckDB replay of the ENTIRE embed plane: content hash, first-occurrence
+    context prefix (C2), truncation (C3), tokenization, md5 slot/sign (E1)
+    and the per-bucket integer checksums of :func:`vector_slot_stats` —
+    recomputed from the raw transcripts with no Spark involved."""
+    h = slot_hash_sql("tok", "duckdb")
+    return f"""
+WITH t AS ({transcripts_rel}),
+hashed AS (
+  SELECT sha256(text) AS content_hash, conv_id, turn_idx, role, text FROM t
+),
+firsts AS (
+  SELECT content_hash,
+         'conv: ' || conv_id || ' / ' || role || chr(10) || chr(10) || text
+           AS embed_text,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY conv_id, turn_idx, role, text) AS rn
+  FROM hashed
+),
+toks AS (
+  SELECT content_hash,
+         unnest(list_filter(regexp_split_to_array(
+           lower(substr(embed_text, 1, {MAX_EMBED_CHARS})), '[^0-9a-z]+'),
+           x -> x <> '')) AS tok
+  FROM firsts WHERE rn = 1
+),
+slots AS (
+  SELECT content_hash, h % {dim} AS idx,
+         CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT content_hash, {h} AS h FROM toks) s
+),
+cnts AS (
+  SELECT content_hash, idx, SUM(sgn) AS cnt
+  FROM slots GROUP BY content_hash, idx
+),
+per_hash AS (
+  SELECT content_hash,
+         COUNT(*) FILTER (WHERE cnt <> 0) AS nnz,
+         COALESCE(SUM(idx) FILTER (WHERE cnt > 0), 0) AS pos_idx,
+         COALESCE(SUM(idx) FILTER (WHERE cnt < 0), 0) AS neg_idx
+  FROM cnts GROUP BY content_hash
+),
+all_hashes AS (SELECT DISTINCT content_hash FROM hashed)
+SELECT substr(a.content_hash, 1, 1) AS bucket,
+       COUNT(*) AS n_hashes,
+       CAST(SUM(COALESCE(p.nnz, 0)) AS BIGINT) AS nnz_sum,
+       CAST(SUM(COALESCE(p.pos_idx, 0)) AS BIGINT) AS pos_idx_sum,
+       CAST(SUM(COALESCE(p.neg_idx, 0)) AS BIGINT) AS neg_idx_sum
+FROM all_hashes a LEFT JOIN per_hash p USING (content_hash)
+GROUP BY 1
+""".strip()
 
 
 def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -132,56 +132,76 @@ def mention_tool_overlap(
     )
 
 
+LSH_BANDS = 4
+LSH_ROWS = 2
+LSH_BUCKET_CAP = 200  # same role as BLOCK_CAP, per band bucket
+
+
+def minhash_link_sql(tokens_col: str, seed: int, dialect: str = "spark") -> str:
+    """MinHash_seed(tokens) = lexicographic min of md5('<seed>:'||token) —
+    the SAME md5-keyed lockstep twin the dedup signatures use
+    (dedup.minhash_sql): md5 hex strings are identical in Spark, DuckDB and
+    Python, so the banding is replayable verbatim inside a DuckDB oracle
+    (xxhash64, the previous key, exists only Spark-side and made the LSH
+    linking path uncheckable by the driver's cross-engine gate)."""
+    if dialect == "spark":
+        return (
+            f"array_min(transform({tokens_col},"
+            f" t -> md5(concat('{seed}:', t))))"
+        )
+    return (
+        f"list_aggregate(list_transform({tokens_col},"
+        f" t -> md5('{seed}:' || t)), 'min')"
+    )
+
+
 def minhash_block_key(
     df: DataFrame,
     tokens_col: str = "norm_tokens",
-    bands: int = 4,
-    rows_per_band: int = 2,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
 ) -> DataFrame:
     """Attach MinHash LSH band keys: explode to one row per band.
 
-    minhash_i(tokens) = min over tokens of xxhash64(token, seed=i); a band key
-    concatenates `rows_per_band` consecutive minhashes. Two sets sharing any
-    band key become join candidates — the standard banding scheme (see
-    PAPERS.md), replacing the reference's single-token verb block for skewed
-    dictionaries. Pure built-in exprs — JVM-side, no UDF.
+    minhash_i(tokens) = min over tokens of md5('<i>:'||token); a band key
+    concatenates the band index and `rows_per_band` consecutive minhashes
+    into one string. Two sets sharing any band key become join candidates —
+    the standard banding scheme (see PAPERS.md), replacing the reference's
+    single-token verb block for skewed dictionaries. Pure built-in exprs —
+    JVM-side, no UDF — and md5-keyed so a DuckDB oracle replays the exact
+    candidate set (see minhash_link_sql).
     """
-    n = bands * rows_per_band
-    mh = [
-        F.array_min(
-            F.transform(F.col(tokens_col), lambda t: F.xxhash64(t, F.lit(i)))
-        ).alias(f"mh{i}")
-        for i in range(n)
-    ]
-    df = df.select("*", *mh)
     band_cols = []
     for bnd in range(bands):
         parts = [
-            F.col(f"mh{bnd * rows_per_band + r}").alias(f"h{r}")
+            F.expr(minhash_link_sql(tokens_col, bnd * rows_per_band + r))
             for r in range(rows_per_band)
         ]
         band_cols.append(
-            F.struct(F.lit(bnd).alias("band"), *parts).alias(f"bk{bnd}")
+            F.concat_ws("|", F.lit(str(bnd)), *parts).alias(f"bk{bnd}")
         )
     df = df.select("*", F.array(*band_cols).alias("_bands"))
-    out = df.select(
-        *[c for c in df.columns if not c.startswith(("mh", "_bands"))],
+    return df.select(
+        *[c for c in df.columns if c != "_bands"],
         F.explode("_bands").alias("band_key"),
     )
-    return out
 
 
 def alias_similarity_edges_lsh(
     alias_dict: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
-    bands: int = 4,
-    rows_per_band: int = 2,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """LSH-banded variant of alias_similarity_edges (scale path).
 
     Candidates = pairs sharing a band key; verified with exact Jaccard. A
     superset-recall prefilter: anything the banding misses was below ~0.3
-    similarity with high probability.
+    similarity with high probability. Band buckets are capped at
+    `bucket_cap` members (deterministic alias order — the same discipline
+    as BLOCK_CAP and the dedup DF_CAP) so one degenerate bucket can never
+    go quadratic at dictionary scale.
     """
     d = (
         with_norm_tokens(alias_dict)
@@ -189,6 +209,10 @@ def alias_similarity_edges_lsh(
         .select("alias", "canonical_id", "norm_tokens")
     )
     banded = minhash_block_key(d, bands=bands, rows_per_band=rows_per_band)
+    w = Window.partitionBy("band_key").orderBy("alias")
+    banded = banded.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= bucket_cap
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     jac = F.expr(jaccard_sql("a.norm_tokens", "b.norm_tokens"))

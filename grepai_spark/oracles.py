@@ -47,14 +47,57 @@ LEFT JOIN {alias_dict_values_sql().replace(' AS d(', ' AS d2(')} ON m.mention = 
 """.strip()
 
 
-def _norm_dict_cte() -> str:
+def _norm_dict_cte(lsh: bool = False, dict_rel: str | None = None) -> str:
+    """`nd` + `sim` CTEs: the alias dictionary with normalized tokens and
+    the similarity edge set — via the first-token block (the reference's
+    verb blocking, default) or the MinHash-LSH banding (`lsh=True`, the
+    north rule's scale prefilter). The LSH replay uses the IDENTICAL
+    md5-keyed minhash as the Spark side (link.minhash_link_sql), so the
+    candidate set — including the deterministic per-bucket cap — matches
+    bucket-for-bucket, not just in aggregate. `dict_rel` overrides the
+    fixture dictionary (the dialect-parity tests drive hostile dicts
+    through the same replay)."""
     toks = norm_tokens_sql("alias", "duckdb")
     blk = first_token_sql("alias", "duckdb")
-    return f"""
-nd AS (
-  SELECT alias, canonical_id, kind, {toks} AS norm_tokens, {blk} AS block
-  FROM {alias_dict_values_sql()}
+    if lsh:
+        from grepai_spark.link import (
+            LSH_BANDS,
+            LSH_BUCKET_CAP,
+            LSH_ROWS,
+            minhash_link_sql,
+        )
+
+        keys = ", ".join(
+            "'{b}|' || {parts}".format(
+                b=bnd,
+                parts=" || '|' || ".join(
+                    minhash_link_sql(
+                        "norm_tokens", bnd * LSH_ROWS + r, "duckdb"
+                    )
+                    for r in range(LSH_ROWS)
+                ),
+            )
+            for bnd in range(LSH_BANDS)
+        )
+        sim = f"""
+banded AS (
+  SELECT alias, canonical_id, norm_tokens,
+         unnest([{keys}]) AS band_key
+  FROM nd WHERE len(norm_tokens) > 0
 ),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY band_key ORDER BY alias) AS rn
+  FROM banded
+),
+sim AS (
+  SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+  FROM capped a JOIN capped b ON a.band_key = b.band_key
+  WHERE a.alias < b.alias AND a.canonical_id <> b.canonical_id
+    AND a.rn <= {LSH_BUCKET_CAP} AND b.rn <= {LSH_BUCKET_CAP}
+    AND {jaccard_sql('a.norm_tokens', 'b.norm_tokens', 'duckdb')} >= 0.5
+)""".strip()
+    else:
+        sim = f"""
 capped AS (
   SELECT *, row_number() OVER (PARTITION BY block ORDER BY alias) AS rn FROM nd
 ),
@@ -64,19 +107,27 @@ sim AS (
   WHERE a.alias < b.alias AND a.canonical_id <> b.canonical_id
     AND a.rn <= 100 AND b.rn <= 100
     AND {jaccard_sql('a.norm_tokens', 'b.norm_tokens', 'duckdb')} >= 0.5
-)
+)""".strip()
+    return f"""
+nd AS (
+  SELECT alias, canonical_id, kind, {toks} AS norm_tokens, {blk} AS block
+  FROM {dict_rel or alias_dict_values_sql()}
+),
+{sim}
 """.strip()
 
 
-def alias_sim_edges_oracle() -> str:
-    return f"WITH {_norm_dict_cte()} SELECT src, dst FROM sim"
+def alias_sim_edges_oracle(
+    lsh: bool = False, dict_rel: str | None = None
+) -> str:
+    return f"WITH {_norm_dict_cte(lsh, dict_rel)} SELECT src, dst FROM sim"
 
 
-def _canonical_map_ctes() -> str:
+def _canonical_map_ctes(lsh: bool = False) -> str:
     """Recursive-CTE connected components over the sim graph:
     entity_id(c) = min id reachable from c."""
     return f"""
-{_norm_dict_cte()},
+{_norm_dict_cte(lsh)},
 bidir AS (
   SELECT src AS a, dst AS b FROM sim
   UNION SELECT dst AS a, src AS b FROM sim
@@ -93,14 +144,16 @@ comp AS (
 """.strip()
 
 
-def canonical_map_oracle() -> str:
-    return f"WITH RECURSIVE {_canonical_map_ctes()} SELECT canonical_id, entity_id FROM comp"
+def canonical_map_oracle(lsh: bool = False) -> str:
+    return f"WITH RECURSIVE {_canonical_map_ctes(lsh)} SELECT canonical_id, entity_id FROM comp"
 
 
-def kg_edges_oracle() -> str:
-    """Full-pipeline oracle: calls ∪ canonicalized mention triples."""
+def kg_edges_oracle(lsh: bool = False) -> str:
+    """Full-pipeline oracle: calls ∪ canonicalized mention triples. With
+    `lsh=True` the canonicalization replays the MinHash-LSH-prefiltered
+    linking path instead of the first-token blocking."""
     return f"""
-WITH RECURSIVE {_canonical_map_ctes()}
+WITH RECURSIVE {_canonical_map_ctes(lsh)}
 SELECT DISTINCT * FROM (
   SELECT role AS subj, 'calls' AS pred, tool AS obj, conv_id, turn_idx,
          CAST(1.0 AS FLOAT) AS weight
