@@ -148,7 +148,6 @@ def main() -> None:
     # (measured 45 s vs ~7 s steady for near_dup_lsh on a bad day) — a
     # third pass gives each query one more chance at a clean window
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
     # Warm-up: JVM + Arrow + Python worker pool, not measured.
     _force(qs["call_triples"](spark, sf_dir).limit(1000))
 
@@ -165,28 +164,59 @@ def main() -> None:
         ).collect()
         return round(time.perf_counter() - t0, 3)
 
+    # Bracket-probe gating (VERDICT r5 #1: BENCH_r05 shipped a throttle-
+    # poisoned headline because min-of-passes had no way to DISCARD a
+    # poisoned window). Every pass is bracketed by the SAME pre-registered
+    # CPU-parallel-efficiency probe the scaling campaign certifies reps
+    # with (tools/scaling_run.probe_eff, gate fixed at PROBE_CLEAN=0.85):
+    # a pass is CERTIFIED iff both its bracketing probes read clean, the
+    # reported walls are min over certified passes only, and a dirty
+    # bracket earns one retry pass (budget-gated). If NO pass certifies,
+    # the all-pass minima ship with "clean": false — disclosed, never
+    # silently blended.
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from scaling_run import PROBE_CLEAN, probe_eff
+
     probe_start = probe()
-    # Repeats run as full PASSES over the query list (not back-to-back per
-    # query): the host throttles in multi-minute windows, and consecutive
-    # repeats of one query land in the same window — min over spread-out
-    # passes is the steady-state estimate min-of-2-adjacent is not.
-    # Budget gate: a pass beyond the first only starts while total measured
-    # wall is under SPARK_GRAFT_BENCH_BUDGET seconds, so a throttled day
-    # costs at most ~one extra pass instead of tripling the bench wall.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
-    passes_run = 0
+    max_passes = repeats + int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    # a bench launched right after heavy foreground compute starts inside a
+    # known throttle window — wait it out briefly instead of burning passes
+    quiet_deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "300")
+    )
+    eff = probe_eff(cpus if cpus <= 8 else 8)
+    while eff < PROBE_CLEAN and time.monotonic() < quiet_deadline:
+        time.sleep(30)
+        eff = probe_eff(cpus if cpus <= 8 else 8)
+    pass_probes = [eff]
+    pass_walls: list[dict[str, float]] = []
+    certified: list[int] = []
     bench_t0 = time.perf_counter()
-    for i in range(repeats):
+    for i in range(max_passes):
+        if len(certified) >= repeats:
+            break
         if i > 0 and time.perf_counter() - bench_t0 > budget:
             break
+        walls: dict[str, float] = {}
         for name in headline:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            wall = time.perf_counter() - t0
-            if wall < timings.get(name, float("inf")):
-                timings[name] = wall
-        passes_run += 1
-    timings = {k: round(v, 3) for k, v in timings.items()}
+            walls[name] = round(time.perf_counter() - t0, 3)
+        pass_walls.append(walls)
+        pass_probes.append(probe_eff(cpus if cpus <= 8 else 8))
+        if (
+            pass_probes[-2] >= PROBE_CLEAN
+            and pass_probes[-1] >= PROBE_CLEAN
+        ):
+            certified.append(i)
+    passes_run = len(pass_walls)
+    use = [pass_walls[i] for i in certified] or pass_walls
+    timings = {
+        name: round(min(w[name] for w in use), 3) for name in headline
+    }
     probe_end = probe()
 
     pipeline_sec = timings.get("kg_edges", sum(timings.values()) or 1.0)
@@ -214,6 +244,13 @@ def main() -> None:
                 "probe_sec_start": probe_start,
                 "probe_sec_end": probe_end,
                 "passes": passes_run,
+                # bracket gate (same estimator + pre-registered 0.85 value
+                # as the scaling campaign): walls above are min over
+                # CERTIFIED passes; clean=false means no pass certified and
+                # the all-pass minima shipped as disclosed fallback
+                "pass_probes": pass_probes,
+                "certified_passes": len(certified),
+                "clean": bool(certified),
                 "scaling": _scaling_record(),
             }
         )

@@ -11,6 +11,10 @@ This tool makes that failure mode a one-command check:
     python tools/handoff_check.py            # exit 0 = verdict matches HEAD
     python tools/handoff_check.py --quiet    # just the exit code
 
+Exit 3 (round 6) flags UNCOMMITTED campaign state: a SCALING block or
+scaling_history.jsonl that differs between HEAD and the working tree is a
+verdict that disappears on checkout (VERDICT r5 #2).
+
 It recomputes the package content hash with the same walk as
 scaling_run.build_zip, parses the `Measured code: package content hash`
 line and the verdict line out of BASELINE.md's SCALING block, and reports:
@@ -71,6 +75,56 @@ def parse_baseline(text: str) -> tuple[str | None, str | None]:
     return (hm.group(1) if hm else None, vm.group(1) if vm else None)
 
 
+def committed_state_matches(quiet: bool) -> bool:
+    """VERDICT r5 #2: the round-5 PASS sat only in the working tree while
+    HEAD's committed BASELINE.md said FAIL — a handoff that survives only
+    until `git checkout`. Fail the check when the SCALING block or the
+    campaign history differs between HEAD and the working tree."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "show", "HEAD:BASELINE.md"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    except Exception:
+        return True  # not a git checkout — nothing to compare
+    with open(os.path.join(REPO, "BASELINE.md"), encoding="utf-8") as fh:
+        work = fh.read()
+    m_head = re.search(
+        r"<!-- SCALING:BEGIN -->.*?<!-- SCALING:END -->", head, re.S
+    )
+    m_work = re.search(
+        r"<!-- SCALING:BEGIN -->.*?<!-- SCALING:END -->", work, re.S
+    )
+    if (m_head.group(0) if m_head else None) != (
+        m_work.group(0) if m_work else None
+    ):
+        if not quiet:
+            print(
+                "DIRTY: BASELINE.md's SCALING block differs between HEAD "
+                "and the working tree — commit the campaign results."
+            )
+        return False
+    hist = subprocess.run(
+        ["git", "status", "--porcelain", "tools/scaling_history.jsonl"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if hist:
+        if not quiet:
+            print(
+                "DIRTY: tools/scaling_history.jsonl has uncommitted "
+                "changes — commit the campaign history."
+            )
+        return False
+    return True
+
+
 def main(argv: list[str]) -> int:
     quiet = "--quiet" in argv
     baseline = os.path.join(REPO, "BASELINE.md")
@@ -81,6 +135,8 @@ def main(argv: list[str]) -> int:
         if not quiet:
             print(f"handoff_check: cannot read BASELINE.md: {e}")
         return 2
+    if not committed_state_matches(quiet):
+        return 3
     recorded, verdict = parse_baseline(text)
     current = pkg_content_hash()
     if not quiet:
