@@ -137,3 +137,45 @@ def test_main_exit_codes(tmp_path, monkeypatch, capsys):
     write_baseline("deadbeefdead", "PASS")
     assert hc.main(["--quiet"]) == 2
     capsys.readouterr()
+
+
+def test_committed_state_guard(tmp_path):
+    """Round-6 guard (VERDICT r5 #2): a SCALING block or campaign history
+    differing between HEAD and the working tree must fail the check —
+    that is a verdict a `git checkout` would destroy."""
+    import subprocess
+
+    repo = str(tmp_path / "r")
+    os.makedirs(os.path.join(repo, "tools"))
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    env_base = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                **os.environ}
+
+    def write(rel, text):
+        with open(os.path.join(repo, rel), "w") as fh:
+            fh.write(text)
+
+    write("BASELINE.md", "intro\n" + BLOCK)
+    write("tools/scaling_history.jsonl", '{"eff": 0.9}\n')
+    subprocess.run(["git", "-C", repo, "add", "-A"], check=True, env=env_base)
+    subprocess.run(
+        ["git", "-C", repo, "commit", "-qm", "init"], check=True, env=env_base
+    )
+    # clean tree: guard passes
+    assert hc.committed_state_matches(True, repo)
+    # SCALING block edited in the working tree only: guard fails
+    write("BASELINE.md", "intro\n" + BLOCK.replace("0.888", "0.999"))
+    assert not hc.committed_state_matches(True, repo)
+    # restore block, dirty the history instead: guard fails
+    write("BASELINE.md", "intro\n" + BLOCK)
+    assert hc.committed_state_matches(True, repo)
+    write("tools/scaling_history.jsonl", '{"eff": 0.9}\n{"eff": 0.95}\n')
+    assert not hc.committed_state_matches(True, repo)
+    # prose-only BASELINE edit outside the block: guard still passes
+    subprocess.run(["git", "-C", repo, "add", "-A"], check=True, env=env_base)
+    subprocess.run(
+        ["git", "-C", repo, "commit", "-qm", "x"], check=True, env=env_base
+    )
+    write("BASELINE.md", "reworded intro\n" + BLOCK)
+    assert hc.committed_state_matches(True, repo)

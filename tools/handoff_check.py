@@ -75,24 +75,25 @@ def parse_baseline(text: str) -> tuple[str | None, str | None]:
     return (hm.group(1) if hm else None, vm.group(1) if vm else None)
 
 
-def committed_state_matches(quiet: bool) -> bool:
+def committed_state_matches(quiet: bool, repo: str | None = None) -> bool:
     """VERDICT r5 #2: the round-5 PASS sat only in the working tree while
     HEAD's committed BASELINE.md said FAIL — a handoff that survives only
     until `git checkout`. Fail the check when the SCALING block or the
     campaign history differs between HEAD and the working tree."""
     import subprocess
 
+    repo = repo if repo is not None else REPO
     try:
         head = subprocess.run(
             ["git", "show", "HEAD:BASELINE.md"],
-            cwd=REPO,
+            cwd=repo,
             capture_output=True,
             text=True,
             check=True,
         ).stdout
     except Exception:
         return True  # not a git checkout — nothing to compare
-    with open(os.path.join(REPO, "BASELINE.md"), encoding="utf-8") as fh:
+    with open(os.path.join(repo, "BASELINE.md"), encoding="utf-8") as fh:
         work = fh.read()
     m_head = re.search(
         r"<!-- SCALING:BEGIN -->.*?<!-- SCALING:END -->", head, re.S
@@ -111,7 +112,7 @@ def committed_state_matches(quiet: bool) -> bool:
         return False
     hist = subprocess.run(
         ["git", "status", "--porcelain", "tools/scaling_history.jsonl"],
-        cwd=REPO,
+        cwd=repo,
         capture_output=True,
         text=True,
     ).stdout.strip()
