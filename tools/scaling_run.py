@@ -465,11 +465,21 @@ def write_baseline_block(history: list[dict], key: dict, v: dict) -> None:
         for h in history
         if h not in v["invocations"] and not h.get("skipped")
     ]
+    def _prior_clean_cell(h: dict) -> str:
+        # ADVICE r5: a probe-certified draw excluded for self-load rendered
+        # as a bare False, indistinguishable from a dirty-probe draw when
+        # cross-referencing the raw history — annotate the exclusions.
+        if "probe_before" not in h:
+            return "-"
+        if h.get("foreground_load"):
+            return "excl (self-load)"
+        return str(is_clean(h))
+
     prior_rows = "\n".join(
         f"| {h.get('commit', '-')} | {h.get('n_turns', '-')} "
         f"| {h.get('wall_lo', '-')} | {h.get('wall_hi', '-')} "
         f"| {h.get('eff', '-')} "
-        f"| {is_clean(h) if 'probe_before' in h else '-'} |"
+        f"| {_prior_clean_cell(h)} |"
         for h in prior
     )
     med = v["median_eff"]
@@ -514,7 +524,8 @@ submitted; recorded as `skipped` lines in tools/scaling_history.jsonl for
 audit — they carry no measurement and no gate weight).
 
 Prior recorded invocations (earlier commits / configurations, disclosed
-for transparency — not used for the verdict):
+for transparency — not used for the verdict; `clean` = bracket-certified
+AND not excluded, with self-load exclusions annotated explicitly):
 
 | commit | n_turns | wall lo | wall hi | efficiency | clean |
 |---|---|---|---|---|---|
