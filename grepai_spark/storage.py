@@ -140,7 +140,11 @@ class Catalog:
         return any(e.startswith(f"{col}=") for e in os.listdir(p))
 
     def _overwrite_partitions(
-        self, table: str, df: DataFrame, partition_by: list[str]
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str],
+        ensure: list[tuple] | None = None,
     ) -> None:
         """Swap exactly the partitions present in `df` into the live table.
 
@@ -153,10 +157,25 @@ class Catalog:
         mode('overwrite') into the live dir would): Catalog startup
         recovery promotes a staged __new__ or restores the __old__.
         Iceberg: overwritePartitions / replaceWhere.
+
+        `ensure` lists partition values that must be swapped EVEN IF `df`
+        holds no rows for them: a scope-replacing merge (replace_by_scope)
+        can legitimately empty a partition — every existing row belonged
+        to the replaced scope and the new extraction yields nothing — and
+        Spark writes no subdirectory for an empty partition, which would
+        silently leave the stale files live. Such partitions get an empty
+        staged dir and go through the SAME crash-safe swap (an empty
+        partition dir reads as zero rows). Single-column partition specs
+        only — all callers partition by the bucket.
         """
         final = self.path(table)
         tmp = f"{final}{_TMP_MARK}{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        if ensure:
+            assert len(partition_by) == 1, "ensure needs a 1-col spec"
+            for vals in ensure:
+                sub = os.path.join(tmp, f"{partition_by[0]}={vals[0]}")
+                os.makedirs(sub, exist_ok=True)
         os.makedirs(final, exist_ok=True)
         prefix = f"{partition_by[0]}="
         for entry in sorted(os.listdir(tmp)):
@@ -284,7 +303,12 @@ class Catalog:
             existing_dirty = self.read(table).where(cond)
             kept = existing_dirty.join(scope, on=scope_keys, how="left_anti")
             merged = kept.unionByName(updates.select(*kept.columns))
-            self._overwrite_partitions(table, merged, partition_by)
+            # ensure=dirty: a partition whose rows ALL belonged to the
+            # replaced scope (and whose new extraction is empty) must still
+            # be swapped — to empty — or its stale files stay live
+            self._overwrite_partitions(
+                table, merged, partition_by, ensure=dirty
+            )
             return
         existing = self.read(table)
         kept = existing.join(scope, on=scope_keys, how="left_anti")

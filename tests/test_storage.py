@@ -130,3 +130,94 @@ def test_crash_recovery_restores_old_and_drops_debris(spark, tmp_path):
     assert debris == []
     got = sorted((r["bucket"], r["v"]) for r in cat2.read("t").collect())
     assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_replace_by_scope_clears_rows_the_update_no_longer_produces(
+    spark, tmp_path
+):
+    """The semantic difference from merge_by_key: a redelivered scope unit's
+    STALE derived rows (keys the new extraction does not emit — including
+    the all-of-them case) must vanish, while untouched partitions keep
+    their files byte-identical on disk."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    rows = [(0, "a", 1, "x"), (0, "a", 2, "y"), (0, "b", 1, "z"),
+            (1, "c", 1, "w"), (1, "c", 2, "v")]
+    df = spark.createDataFrame(rows, "bucket int, unit string, k int, v string")
+    cat.overwrite("t", df, partition_by=["bucket"])
+
+    table_dir = cat.path("t")
+    before = {
+        f"{e}/{f}": os.path.getmtime(os.path.join(table_dir, e, f))
+        for e in os.listdir(table_dir) if e.startswith("bucket=")
+        for f in os.listdir(os.path.join(table_dir, e)) if f.endswith(".parquet")
+    }
+
+    # unit 'a' redelivered: now yields ONE row with a new key; unit 'b'
+    # redelivered with ZERO rows
+    scope = spark.createDataFrame(
+        [(0, "a"), (0, "b")], "bucket int, unit string"
+    )
+    upd = spark.createDataFrame(
+        [(0, "a", 9, "new")], "bucket int, unit string, k int, v string"
+    )
+    cat.replace_by_scope("t", upd, scope, ["bucket", "unit"],
+                         partition_by=["bucket"])
+
+    got = sorted(
+        tuple(r)
+        for r in cat.read("t").select("bucket", "unit", "k", "v").collect()
+    )
+    assert got == sorted(
+        [(0, "a", 9, "new"), (1, "c", 1, "w"), (1, "c", 2, "v")]
+    )
+    # bucket=1 untouched on disk
+    after = {
+        f"{e}/{f}": os.path.getmtime(os.path.join(table_dir, e, f))
+        for e in os.listdir(table_dir) if e.startswith("bucket=")
+        for f in os.listdir(os.path.join(table_dir, e)) if f.endswith(".parquet")
+    }
+    for k, m in before.items():
+        if k.startswith("bucket=1/"):
+            assert after.get(k) == m, f"clean partition rewritten: {k}"
+
+
+def test_replace_by_scope_creates_and_falls_back(spark, tmp_path):
+    """Missing table -> plain overwrite; unpartitioned table -> row-level
+    anti-join fallback."""
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    scope = spark.createDataFrame([("a",)], "unit string")
+    upd = spark.createDataFrame([("a", 1)], "unit string, k int")
+    cat.replace_by_scope("t", upd, scope, ["unit"])
+    assert [tuple(r) for r in cat.read("t").collect()] == [("a", 1)]
+
+    # unpartitioned fallback: replace unit 'a' wholesale
+    upd2 = spark.createDataFrame([("a", 7)], "unit string, k int")
+    cat.replace_by_scope("t", upd2, scope, ["unit"])
+    assert [tuple(r) for r in cat.read("t").collect()] == [("a", 7)]
+
+
+def test_replace_by_scope_empties_a_partition_whose_rows_all_left(
+    spark, tmp_path
+):
+    """Round-6 regression: when EVERY row of a dirty partition belongs to
+    the replaced scope and the new extraction yields nothing there, the
+    partition must be swapped to EMPTY — Spark writes no subdir for an
+    empty partition, so without the ensure= backstop the stale files
+    would silently stay live."""
+    cat = Catalog(spark, str(tmp_path / "cat3"))
+    rows = [(0, "solo", 1, "stale"), (1, "other", 1, "keep")]
+    df = spark.createDataFrame(rows, "bucket int, unit string, k int, v string")
+    cat.overwrite("t", df, partition_by=["bucket"])
+
+    # unit 'solo' (the ONLY occupant of bucket 0) redelivered with nothing
+    scope = spark.createDataFrame([(0, "solo")], "bucket int, unit string")
+    upd = spark.createDataFrame(
+        [], "bucket int, unit string, k int, v string"
+    )
+    cat.replace_by_scope("t", upd, scope, ["bucket", "unit"],
+                         partition_by=["bucket"])
+    got = sorted(
+        tuple(r)
+        for r in cat.read("t").select("bucket", "unit", "k", "v").collect()
+    )
+    assert got == [(1, "other", 1, "keep")]
