@@ -221,3 +221,44 @@ def test_replace_by_scope_empties_a_partition_whose_rows_all_left(
         for r in cat.read("t").select("bucket", "unit", "k", "v").collect()
     )
     assert got == [(1, "other", 1, "keep")]
+
+
+def test_replace_by_scope_sequential_model(spark, tmp_path):
+    """Model check: 8 seeded random scope-replacements applied to one
+    catalog must track a plain dict model exactly — covers re-emptied and
+    re-populated partitions, repeated scope units, and updates whose rows
+    land in multiple buckets."""
+    import random
+
+    rng = random.Random(42)
+    cat = Catalog(spark, str(tmp_path / "model"))
+    units = [("u%d" % i, i % 3) for i in range(7)]  # unit -> bucket
+    model: dict[tuple, str] = {}
+
+    for step in range(8):
+        scoped = rng.sample(units, rng.randrange(1, len(units) + 1))
+        scope_rows = [(b, u) for u, b in scoped]
+        upd_rows = []
+        for u, b in scoped:
+            for k in range(rng.randrange(0, 3)):
+                upd_rows.append((b, u, k, f"v{step}"))
+        # apply to the model: drop every scoped unit's rows, insert news
+        for key in [k for k in model if (k[1], k[0]) in [(u, b) for u, b in scoped]]:
+            del model[key]
+        for b, u, k, v in upd_rows:
+            model[(b, u, k)] = v
+
+        scope = spark.createDataFrame(scope_rows, "bucket int, unit string")
+        upd = spark.createDataFrame(
+            upd_rows, "bucket int, unit string, k int, v string"
+        )
+        cat.replace_by_scope(
+            "t", upd, scope, ["bucket", "unit"], partition_by=["bucket"]
+        )
+        if not model:
+            continue  # fully-empty table: parquet scan has no schema source
+        got = {
+            (r["bucket"], r["unit"], r["k"]): r["v"]
+            for r in cat.read("t").collect()
+        }
+        assert got == model, f"diverged at step {step}"
