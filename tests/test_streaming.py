@@ -436,3 +436,60 @@ def test_streaming_kg_edges_match_duckdb_oracle_at_sf(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_stateful_stats_daemon_trigger(spark, tiny_transcripts, tmp_path):
+    """The stateful counters also run in daemon mode: a processingTime
+    trigger keeps the applyInPandasWithState operator live, state carries
+    across triggers inside one run, and the returned query is the
+    caller's lifecycle handle."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sdsrc")
+    out = str(tmp_path / "sdout")
+    ck = str(tmp_path / "sdck")
+    os.makedirs(src, exist_ok=True)
+
+    first = tiny_transcripts.where("conv_id in ('conv-a', 'conv-b')")
+    second = tiny_transcripts.where("conv_id in ('conv-c', 'conv-d')")
+    _write_slice(first, f"{src}/slice1")
+    q = streaming.conversation_stats_stream(
+        spark, f"{src}/slice*", out, ck,
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        assert q.isActive
+        _write_slice(second, f"{src}/slice2")
+        want_df = (
+            first.unionByName(second)
+            .groupBy("conv_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("tool") != "", 1).otherwise(0)).alias("t"),
+                F.max("turn_idx").alias("m"),
+            )
+        )
+        want = {
+            r["conv_id"]: (r["n"], r["t"], r["m"]) for r in want_df.collect()
+        }
+        cat = Catalog(spark, out)
+        end = time.monotonic() + 180
+        got = {}
+        while time.monotonic() < end:
+            try:
+                got = {
+                    r["conv_id"]: (
+                        r["turn_count"], r["tool_calls"], r["last_turn_idx"]
+                    )
+                    for r in cat.read(streaming.CONV_STATS_TABLE).collect()
+                }
+            except Exception:
+                got = {}
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+    finally:
+        q.stop()
