@@ -65,16 +65,56 @@ def _arr_lit(vals: list[float], dialect: str) -> str:
     return f"CAST([{body}] AS DOUBLE[])"
 
 
+def _unrolled_dot_terms(vec_col: str, vals: list[float]) -> str:
+    """Unrolled literal dot product: plain scalar arithmetic instead of a
+    higher-order-function fold. HOF lambdas (aggregate/zip_with) are
+    interpreted per element — never codegen'd — and allocate a zipped array
+    per row; this chain stays inside WholeStageCodegen. Bit-identical to the
+    fold by construction: the association is the fold's own left-to-right
+    ((0.0 + t1) + t2)..., x * 1.0 == x and acc + (-x) == acc - x exactly in
+    IEEE 754, and each element is the same float->double cast."""
+    parts = ["CAST(0.0 AS DOUBLE)"]
+    for i, v in enumerate(vals):
+        x = f"CAST(try_element_at({vec_col}, {i + 1}) AS DOUBLE)"
+        if v == 1.0:
+            parts.append(f" + {x}")
+        elif v == -1.0:
+            parts.append(f" - {x}")
+        else:
+            parts.append(f" + {x} * CAST('{v!r}' AS DOUBLE)")
+    return "(" + "".join(parts) + ")"
+
+
 def dot_sql(vec_col: str, vals: list[float], dialect: str = "spark") -> str:
-    """Dot product of an array column with a literal vector, sequential fold
-    in both engines (same accumulation order -> same IEEE result)."""
-    lit = _arr_lit(vals, dialect)
+    """Dot product of an array column with a literal vector — same sequential
+    accumulation order in both engines -> same IEEE result.
+
+    Spark side is the unrolled codegen form (r7): the sequential fold it
+    replaces returns NULL whenever size(vec) != len(vals) (zip_with pads the
+    shorter side with NULL and NULL poisons the fold) and NULL for a NULL
+    vec, so the size guard reproduces the fold's semantics exactly while the
+    taken branch is pure codegen arithmetic."""
     if dialect == "spark":
         return (
-            f"aggregate(zip_with(CAST({vec_col} AS array<double>), {lit},"
-            f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            f"IF(size({vec_col}) = {len(vals)},"
+            f" {_unrolled_dot_terms(vec_col, vals)}, CAST(NULL AS DOUBLE))"
         )
+    lit = _arr_lit(vals, dialect)
     return f"list_dot_product(CAST({vec_col} AS DOUBLE[]), {lit})"
+
+
+def _fold_dot_sql(vec_col: str, vals: list[float]) -> str:
+    """The sequential-fold literal dot (Spark dialect). Kept for the plane
+    signatures: a bucket expression carries n_planes dots, and unrolling all
+    of them (r7 experiment) ballooned the expression tree ~64x — planning +
+    codegen per query call cost far more than the interpreted fold saves at
+    a handful of dots per row. Single-dot call sites use the unrolled
+    dot_sql instead."""
+    lit = _arr_lit(vals, "spark")
+    return (
+        f"aggregate(zip_with(CAST({vec_col} AS array<double>), {lit},"
+        f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
 
 
 def bucket_sql(
@@ -87,7 +127,11 @@ def bucket_sql(
     """Sign-LSH bucket id as an n_planes-char '01' string."""
     ps = planes(n_planes, dim, seed)
     bits = [
-        f"CASE WHEN {dot_sql(vec_col, p, dialect)} >= 0 THEN '1' ELSE '0' END"
+        "CASE WHEN {} >= 0 THEN '1' ELSE '0' END".format(
+            _fold_dot_sql(vec_col, p)
+            if dialect == "spark"
+            else dot_sql(vec_col, p, dialect)
+        )
         for p in ps
     ]
     if dialect == "spark":
@@ -128,17 +172,52 @@ def cosine_vs_query_sql(
     assumed normalized, unlike the turn encoder's output)."""
     d = dot_sql(vec_col, query_vec, dialect)
     qn = sum(x * x for x in query_vec) ** 0.5
-    sq = dot_sql_self(vec_col, dialect)
+    sq = dot_sql_self(vec_col, dialect, dim=len(query_vec))
     return f"({d}) / (sqrt({sq}) * CAST('{qn!r}' AS DOUBLE))"
 
 
-def dot_sql_self(vec_col: str, dialect: str = "spark") -> str:
+def dot_sql_self(
+    vec_col: str, dialect: str = "spark", dim: int | None = None
+) -> str:
+    """sum(x^2) over the array. With `dim` (the expected vector width) the
+    Spark form unrolls to codegen arithmetic for that width and keeps the
+    fold as the else-branch — unlike the literal dot, a self-dot of an
+    off-width vector is a VALID number, so the fold fallback must stay."""
+    fold = (
+        f"aggregate(transform(CAST({vec_col} AS array<double>),"
+        f" x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
     if dialect == "spark":
-        return (
-            f"aggregate(transform(CAST({vec_col} AS array<double>),"
-            f" x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
+        if dim is None:
+            return fold
+        parts = ["CAST(0.0 AS DOUBLE)"]
+        for i in range(dim):
+            x = f"CAST(try_element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            parts.append(f" + {x} * {x}")
+        unrolled = "(" + "".join(parts) + ")"
+        return f"IF(size({vec_col}) = {dim}, {unrolled}, {fold})"
     return f"list_dot_product(CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[]))"
+
+
+def pair_dot_sql(a: str, b: str, dim: int) -> str:
+    """Dot product of two array columns, unrolled for the expected width
+    (fold fallback for any other width — zip_with pads the shorter side, so
+    mismatched widths fold to NULL there and the guard keeps that path).
+    Same left-to-right association as the fold -> bit-identical."""
+    fold = (
+        f"aggregate(zip_with(CAST({a} AS array<double>),"
+        f" CAST({b} AS array<double>),"
+        f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    parts = ["CAST(0.0 AS DOUBLE)"]
+    for i in range(dim):
+        xa = f"CAST(try_element_at({a}, {i + 1}) AS DOUBLE)"
+        xb = f"CAST(try_element_at({b}, {i + 1}) AS DOUBLE)"
+        parts.append(f" + {xa} * {xb}")
+    unrolled = "(" + "".join(parts) + ")"
+    return (
+        f"IF(size({a}) = {dim} AND size({b}) = {dim}, {unrolled}, {fold})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -336,12 +415,11 @@ def near_dup_cosine_pairs(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("vb"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(CAST(va AS array<double>), CAST(vb AS array<double>),"
-        " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    na = F.sqrt(F.expr(dot_sql_self("va")))
-    nb = F.sqrt(F.expr(dot_sql_self("vb")))
+    # unrolled pair dot (r7): the per-candidate fold was the dominant cost —
+    # O(candidate pairs x dim) interpreted lambda steps; this stays in codegen
+    dot = F.expr(pair_dot_sql("va", "vb", EMBED_TABLE_DIM))
+    na = F.sqrt(F.expr(dot_sql_self("va", dim=EMBED_TABLE_DIM)))
+    nb = F.sqrt(F.expr(dot_sql_self("vb", dim=EMBED_TABLE_DIM)))
     cos = dot / (na * nb)
     return (
         a.join(b, "cell")
@@ -399,7 +477,7 @@ def near_dup_lsh_pairs(
     b = emb.select(
         F.col(id_col).alias("the_id"),
         F.col(vec_col).alias("v"),
-        F.sqrt(F.expr(dot_sql_self(vec_col))).alias("nv"),
+        F.sqrt(F.expr(dot_sql_self(vec_col, dim=EMBED_TABLE_DIM))).alias("nv"),
         F.posexplode(sigs).alias("set_id", "bkt"),
     )
     w = Window.partitionBy("set_id", "bkt").orderBy("the_id")
@@ -413,6 +491,18 @@ def near_dup_lsh_pairs(
         .where(F.col("_rn") <= bucket_cap)
         .drop("_rn")
     )
+    # Parallelism floor (r7, guide §2.5/§2.6): the capped banded table is
+    # small, so AQE coalesces the window's shuffle output down to ~1
+    # partition — and every narrow op downstream inherits it, serializing
+    # the pair join's O(candidate x dim) cosine verify (measured: the whole
+    # 2M-pair verify ran as ONE task at sf0.1). An explicit keyed
+    # repartition is exempt from AQE coalescing; 2x cores smooths uneven
+    # bucket sizes. At corpus scale the banded table already has more
+    # partitions than cores and this is a no-op.
+    spark = emb.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < 2 * cores:
+        b = b.repartition(2 * cores, "set_id", "bkt")
     if materialize:  # ADVICE r4: plan-only consumers can opt out
         b = b.localCheckpoint(eager=True)
     a = b.select(
@@ -429,10 +519,9 @@ def near_dup_lsh_pairs(
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(CAST(va AS array<double>), CAST(vb AS array<double>),"
-        " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    # unrolled pair dot (r7): ~2M candidate pairs x 64 interpreted fold steps
+    # was ~3.0 s of the sf0.1 wall; the codegen chain is the same arithmetic
+    dot = F.expr(pair_dot_sql("va", "vb", EMBED_TABLE_DIM))
     cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(c, ["set_id", "bkt"])

@@ -24,15 +24,16 @@ from pyspark.sql import functions as F
 def dot_score(vec_col: str, query_vec: list[float]) -> F.Column:
     """Dot product of a float-array column with a literal query vector.
 
-    Built-in zip_with + aggregate -> codegen'd, sequential fold (same order
-    as DuckDB's list_dot_product, so oracles agree bit-for-bit). Inputs are
+    r7: the unrolled codegen form (ann.dot_sql) — the zip_with/aggregate
+    fold it replaces is interpreted per element (HOFs are never codegen'd).
+    Same sequential accumulation order as the fold and as DuckDB's
+    list_dot_product, so oracles agree bit-for-bit; off-width or NULL
+    vectors score NULL exactly like the fold (see ann.dot_sql). Inputs are
     L2-normalized by the encoder, so dot == cosine.
     """
-    q = F.lit(query_vec).cast("array<double>")
-    prods = F.zip_with(
-        F.col(vec_col).cast("array<double>"), q, lambda a, b: a * b
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    from grepai_spark.ann import dot_sql
+
+    return F.expr(dot_sql(vec_col, query_vec))
 
 
 def cosine_topk(
