@@ -77,7 +77,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 SMALL_GRAPH_EDGES = 100_000
 
 
-def _union_find_components(rows: list, spark) -> DataFrame:
+def _union_find(rows: list) -> list[tuple[str, str]]:
+    """Pure driver-side union-find: edge rows -> sorted (node, component)
+    pairs with component = min member id (the distributed fixpoint's id
+    convention)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -101,9 +104,12 @@ def _union_find_components(rows: list, spark) -> DataFrame:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
     nodes = {x for r in rows for x in (r[0], r[1])}
-    out = [(n, find(n)) for n in sorted(nodes)]
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
+def _union_find_components(rows: list, spark) -> DataFrame:
     return spark.createDataFrame(
-        out, "node string, component string"
+        _union_find(rows), "node string, component string"
     )
 
 
@@ -167,11 +173,45 @@ def connected_components(
     return comp.union(missing)
 
 
+# Below this many dictionary rows the whole canonical map is computed on
+# the driver (one limit-collect each for dict and edges, union-find, one
+# LocalRelation out) — r7: the distributed shape paid a distinct shuffle +
+# broadcast join job per call for a dictionary-scale product. Same
+# two-regime pattern (and the same Python string-min convention) as
+# connected_components' small-graph path.
+SMALL_DICT_ROWS = 100_000
+
+
 def canonical_map(
     alias_dict: DataFrame, link_edges: DataFrame
 ) -> DataFrame:
     """canonical_id -> entity_id (component min) for EVERY dictionary entity,
     including singletons."""
+    from grepai_spark.dimcache import attach_rows, attached_rows, cached_rows
+
+    head = cached_rows(alias_dict)
+    if len(head) <= SMALL_DICT_ROWS:
+        # prefer edge rows a driver-side producer already holds (the small
+        # similarity regime attaches them); otherwise one bounded probe
+        edges = attached_rows(link_edges)
+        if edges is None:
+            edges = (
+                link_edges.select("src", "dst")
+                .limit(SMALL_GRAPH_EDGES + 1)
+                .collect()
+            )
+        if len(edges) <= SMALL_GRAPH_EDGES:
+            comp = dict(_union_find(edges))
+            rows = [
+                (c, comp.get(c, c))
+                for c in sorted({r["canonical_id"] for r in head})
+            ]
+            return attach_rows(
+                alias_dict.sparkSession.createDataFrame(
+                    rows, "canonical_id string, entity_id string"
+                ),
+                rows,
+            )
     cc = connected_components(link_edges)
     all_canon = alias_dict.select(
         F.col("canonical_id").alias("node")

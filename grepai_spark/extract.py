@@ -142,19 +142,32 @@ def _make_mention_detector(kinds: dict[str, str]):
         kind_of = payload.data
         out = []
         empty: list[dict] = []
+        # Per-batch memo (r7): detection is a pure function of the text and
+        # duplicate texts are the norm (the content-hash cache exists for
+        # the same reason — ~26% distinct at sf0.01), so each distinct text
+        # is matched once per batch. Batch-scoped on purpose: memory stays
+        # bounded by the Arrow batch even when every text is unique.
+        memo: dict[str, list[dict]] = {}
         for text in texts.fillna(""):
-            if not text:
-                out.append(empty)
-                continue
-            # P5/P6: detection runs on the fence-masked text; pos reports
-            # the first literal occurrence in the ORIGINAL text (the same
-            # split the SQL oracle makes).
-            masked = mask_fences(text)
-            found = [
-                {"mention": a, "pos": text.find(a) + 1, "kind": kind_of[a]}
-                for a in matcher(masked)
-            ]
-            out.append(found or empty)
+            found = memo.get(text)
+            if found is None:
+                if not text:
+                    found = empty
+                else:
+                    # P5/P6: detection runs on the fence-masked text; pos
+                    # reports the first literal occurrence in the ORIGINAL
+                    # text (the same split the SQL oracle makes).
+                    masked = mask_fences(text)
+                    found = [
+                        {
+                            "mention": a,
+                            "pos": text.find(a) + 1,
+                            "kind": kind_of[a],
+                        }
+                        for a in matcher(masked)
+                    ] or empty
+                memo[text] = found
+            out.append(found)
         return pd.Series(out)
 
     return detect
@@ -168,13 +181,18 @@ def detect_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
     is collected to the driver once (it is a small broadcast-side dimension by
     design — the reference holds it fully in memory too, rpg/indexer.go:527).
     """
-    rows = (
-        alias_dict.where(F.col("kind").isin("entity", "action"))
-        .select("alias", "kind")
-        .distinct()
-        .collect()
-    )
-    kinds = {r["alias"]: r["kind"] for r in rows}
+    # r7: the dict is read through the loaded-dimension cache — the previous
+    # shape ran a distinct-shuffle job (~0.4 s) plus a collect on EVERY call
+    # to dedupe and filter a broadcast-side dimension; one collect per
+    # session now serves every detector build, and the dict comprehension
+    # dedupes/filters the rows for free (alias -> kind unique by design)
+    from grepai_spark.dimcache import cached_rows
+
+    kinds = {
+        r["alias"]: r["kind"]
+        for r in cached_rows(alias_dict)
+        if r["kind"] in ("entity", "action")
+    }
     detect = _make_mention_detector(kinds)
     return transcripts.select(
         "conv_id",
@@ -219,16 +237,21 @@ def make_edge_detector(alias_map: dict[str, tuple[str, str]]):
         amap = payload.data
         out = []
         empty: list[dict] = []
+        # per-batch memo — same rationale as the mention detector (r7):
+        # one match pass per distinct text per batch, bounded memory
+        memo: dict[str, list[dict]] = {}
         for text in texts.fillna(""):
-            if not text:
-                out.append(empty)
-                continue
-            found = {amap[a] for a in matcher(mask_fences(text))}
-            out.append(
-                [{"pred": p, "obj": o} for p, o in sorted(found)]
-                if found
-                else empty
-            )
+            edges = memo.get(text)
+            if edges is None:
+                if not text:
+                    edges = empty
+                else:
+                    found = {amap[a] for a in matcher(mask_fences(text))}
+                    edges = [
+                        {"pred": p, "obj": o} for p, o in sorted(found)
+                    ] or empty
+                memo[text] = edges
+            out.append(edges)
         return pd.Series(out)
 
     return detect_edges

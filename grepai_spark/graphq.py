@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 from grepai_spark.naming import jaccard_sql, norm_tokens_sql
 
+# adjacency sizes up to this run BFS on the driver (see bfs); mirrors
+# cc.SMALL_GRAPH_EDGES
+SMALL_ADJ_EDGES = 100_000
+
 
 def _seg(expr_sql: str) -> "F.Column":
     """NULL-safe feature-path segment: a degenerate name whose first_token /
@@ -90,6 +94,51 @@ def bfs(
         adj = adj.where(F.col("a") != F.col("b")).distinct()
         # hub guard: degree pre-computation, expansion skips heavy nodes
         deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+
+    # r7 small-graph driver regime (the cc.py two-regime pattern): a
+    # collectable adjacency runs the whole traversal on the driver — the
+    # distributed loop costs ~3 jobs per hop (join, checkpoint, isEmpty)
+    # of pure scheduling overhead on a graph that fits in one hand. Rows
+    # already loaded by the graph model (stores.graph_adjacency attaches
+    # them via dimcache) are reused; otherwise one limit-collect probes the
+    # size — at graph scale it reads cutoff+1 rows and the iterative path
+    # below is untouched.
+    from grepai_spark.dimcache import attached_rows
+
+    head = attached_rows(adj)
+    if head is None:
+        head = adj.limit(SMALL_ADJ_EDGES + 1).collect()
+    spark = edges.sparkSession
+    if len(head) <= SMALL_ADJ_EDGES:
+        deg_rows = attached_rows(deg)
+        if deg_rows is None:
+            deg_rows = deg.collect()
+        expandable_s = {
+            r["a"] for r in deg_rows if r["deg"] <= hub_cap
+        }
+        nbrs: dict[str, list[str]] = {}
+        for r in head:
+            if r["a"] in expandable_s:
+                nbrs.setdefault(r["a"], []).append(r["b"])
+        visited_m: dict[str, int] = {seed: 0}
+        frontier_s: set[str] = {seed}
+        for d in range(1, depth + 1):
+            nxt = {
+                b
+                for a in frontier_s
+                for b in nbrs.get(a, ())
+                if b not in visited_m
+            }
+            if not nxt:
+                break
+            for b in nxt:
+                visited_m[b] = d
+            frontier_s = nxt
+        out = spark.createDataFrame(
+            sorted(visited_m.items()), "node string, depth bigint"
+        )
+        return out.orderBy("depth", "node")
+
     expandable = deg.where(F.col("deg") <= hub_cap).select("a")
     # Materialize the (small) adjacency once: every hop below re-joins it,
     # and without this the upstream plan (a stored-artifact scan in the

@@ -32,6 +32,57 @@ def with_norm_tokens(alias_dict: DataFrame) -> DataFrame:
     return alias_dict.withColumn("norm_tokens", F.expr(norm_tokens_sql("alias")))
 
 
+# Below this many dictionary rows the similarity linking runs on the driver
+# (collect + pure-Python twins) instead of as ~5 tiny shuffle jobs — the same
+# two-regime shape as cc.SMALL_GRAPH_EDGES. The Python twins
+# (py_first_token / py_norm_tokens / py_jaccard) are lockstep-tested against
+# the SQL expressions (tests/test_naming_dialect), so regime choice cannot
+# change the edge set; non-ASCII aliases fall back to the distributed path
+# because Python code-point ordering and Java UTF-16 ordering only provably
+# agree on ASCII (the cap's deterministic order depends on it).
+SMALL_DICT_ROWS = 10_000
+
+
+def _collect_small_dict(alias_dict: DataFrame) -> list | None:
+    """The dict's rows if it is small and ASCII-only, else None. Goes
+    through the loaded-dimension cache (dimcache): the dictionary
+    is a collectable broadcast-side dimension by design (the detectors
+    collect it wholesale for their broadcast payloads), so one collect per
+    handle serves every linking call in the session — a limit-probe here
+    measured SLOWER than a plain collect (executeTake runs multiple jobs)."""
+    from grepai_spark.dimcache import cached_rows
+
+    rows = cached_rows(alias_dict)
+    if len(rows) > SMALL_DICT_ROWS:
+        return None
+    if any(max(r["alias"]) >= "\x80" for r in rows if r["alias"]):
+        return None
+    return rows
+
+
+def _py_pairs_from_buckets(
+    buckets: dict[str, list], threshold: float, cap: int
+) -> list[tuple[str, str]]:
+    """Shared verify step of both driver-side regimes: within each bucket,
+    cap members (already alias-sorted), pair a.alias < b.alias with distinct
+    canonical ids, keep Jaccard >= threshold. Same float arithmetic as the
+    SQL (len ints -> IEEE double division)."""
+    from grepai_spark.naming import py_jaccard
+
+    out: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        members = members[:cap]
+        for i, (a_alias, a_cid, a_toks) in enumerate(members):
+            for b_alias, b_cid, b_toks in members[i + 1 :]:
+                if a_cid == b_cid or a_alias == b_alias:
+                    # the SQL pair predicate is a STRICT a.alias < b.alias:
+                    # duplicate surface forms never pair
+                    continue
+                if py_jaccard(a_toks, b_toks) >= threshold:
+                    out.add((a_cid, b_cid))
+    return sorted(out)
+
+
 def link_mentions_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """mention rows -> + canonical_id via broadcast exact join on surface form."""
     dim = F.broadcast(alias_dict.select("alias", "canonical_id").distinct())
@@ -53,7 +104,33 @@ def alias_similarity_edges(
     equi-join on the block key, so Spark shuffles once on the (tiny) dict; at
     dictionary scale this is trivially broadcastable, and the same shape holds
     for mention-level dedup at corpus scale.
+
+    r7: small ASCII dictionaries (the common serving case — the reference
+    holds the whole dictionary in RAM) run entirely on the driver via the
+    lockstep-tested Python twins: one limit-collect, zero shuffle jobs.
     """
+    head = _collect_small_dict(alias_dict)
+    if head is not None:
+        from grepai_spark.naming import py_first_token, py_norm_tokens
+
+        buckets: dict[str, list] = {}
+        for r in sorted(head, key=lambda r: r["alias"]):
+            toks = py_norm_tokens(r["alias"])
+            if not toks:
+                continue
+            blk = py_first_token(r["alias"])
+            buckets.setdefault(blk, []).append(
+                (r["alias"], r["canonical_id"], toks)
+            )
+        pairs = _py_pairs_from_buckets(buckets, threshold, block_cap)
+        from grepai_spark.dimcache import attach_rows
+
+        return attach_rows(
+            alias_dict.sparkSession.createDataFrame(
+                pairs, "src string, dst string"
+            ),
+            pairs,
+        )
     d = (
         with_norm_tokens(alias_dict)
         .where(F.size("norm_tokens") > 0)
@@ -202,7 +279,45 @@ def alias_similarity_edges_lsh(
     `bucket_cap` members (deterministic alias order — the same discipline
     as BLOCK_CAP and the dedup DF_CAP) so one degenerate bucket can never
     go quadratic at dictionary scale.
+
+    r7: same small-ASCII-dictionary driver regime as
+    :func:`alias_similarity_edges` — hashlib md5 hex equals Spark/DuckDB
+    md5 hex, so the banding replays exactly.
     """
+    head = _collect_small_dict(alias_dict)
+    if head is not None:
+        import hashlib
+
+        from grepai_spark.naming import py_norm_tokens
+
+        buckets: dict[str, list] = {}
+        for r in sorted(head, key=lambda r: r["alias"]):
+            toks = py_norm_tokens(r["alias"])
+            if not toks:
+                continue
+            for bnd in range(bands):
+                mins = [
+                    min(
+                        hashlib.md5(
+                            f"{bnd * rows_per_band + rr}:{t}".encode()
+                        ).hexdigest()
+                        for t in toks
+                    )
+                    for rr in range(rows_per_band)
+                ]
+                key = "|".join([str(bnd), *mins])
+                buckets.setdefault(key, []).append(
+                    (r["alias"], r["canonical_id"], toks)
+                )
+        pairs = _py_pairs_from_buckets(buckets, threshold, bucket_cap)
+        from grepai_spark.dimcache import attach_rows
+
+        return attach_rows(
+            alias_dict.sparkSession.createDataFrame(
+                pairs, "src string, dst string"
+            ),
+            pairs,
+        )
     d = (
         with_norm_tokens(alias_dict)
         .where(F.size("norm_tokens") > 0)

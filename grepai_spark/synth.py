@@ -153,10 +153,24 @@ def transcripts_duckdb_sql(sf_dir: str) -> str:
     return transcripts_sql(rel, "duckdb")
 
 
+# one DataFrame handle per session (r7): the dict is an immutable code
+# constant, and a fresh createDataFrame per call costs driver-side
+# conversion + analysis on every query; a stable handle also lets the
+# loaded-dimension cache (dimcache) reuse its collected rows
+_DICT_MEMO: dict[str, DataFrame] = {}
+
+
 def alias_dict_df(spark: SparkSession) -> DataFrame:
     from grepai_spark.schemas import ALIAS_DICT
 
-    return spark.createDataFrame(ALIAS_ROWS, schema=ALIAS_DICT)
+    key = spark.sparkContext.applicationId
+    df = _DICT_MEMO.get(key)
+    if df is None:
+        df = spark.createDataFrame(ALIAS_ROWS, schema=ALIAS_DICT)
+        if len(_DICT_MEMO) > 8:
+            _DICT_MEMO.clear()
+        _DICT_MEMO[key] = df
+    return df
 
 
 def alias_dict_values_sql() -> str:
