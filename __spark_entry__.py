@@ -451,19 +451,38 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_stats_select(d: DataFrame) -> DataFrame:
     """The fused projection over an arbitrary (doc_id, text) DataFrame —
     split out so the dialect-parity property test can drive it with
-    adversarial corpora, not just the fixture documents table."""
-    scores = textstats.lang_scores_sql("text")
-    q = textstats.quality_sql("text")
+    adversarial corpora, not just the fixture documents table.
+
+    r7: tokenization and the per-language hit counts are STAGED as their
+    own projections (the verb_object_col_staged discipline) — inlined, the
+    regex-split token expression appeared ~28x per row across the argmax
+    chain, hit columns and quality metrics, and Catalyst cannot hoist
+    subexpressions out of higher-order-function lambdas. Each output column
+    is the exact sub-expression the one-shot form inlined, so results are
+    identical (the frozen oracle keeps the inline spelling)."""
+    from grepai_spark.dedup import tokens_sql
+
+    staged = d.withColumn("_ts_toks", F.expr(tokens_sql("text")))
+    hits = textstats.lang_scores_sql("text", toks="_ts_toks")
+    staged = staged.withColumns(
+        {f"_h_{lang}": F.expr(hits[lang]) for lang in textstats.LANG_ORDER}
+    )
+    hit_cols = {lang: f"_h_{lang}" for lang in textstats.LANG_ORDER}
+    q = textstats.quality_sql("text", toks="_ts_toks", en="_h_en")
     t = textstats.token_counts_sql("text")
-    return d.select(
+    return staged.select(
         "doc_id",
-        F.expr(textstats.lang_pred_sql("text")).alias("pred_lang"),
+        F.expr(textstats.lang_pred_sql("text", scores=hit_cols)).alias(
+            "pred_lang"
+        ),
         *[
-            F.expr(scores[lang]).cast("int").alias(f"hits_{lang}")
+            F.col(f"_h_{lang}").cast("int").alias(f"hits_{lang}")
             for lang in textstats.LANG_ORDER
         ],
         *[F.expr(expr).alias(name) for name, expr in q.items()],
-        F.expr(textstats.quality_score_sql("text")).alias("quality"),
+        F.expr(
+            textstats.quality_score_sql("text", toks="_ts_toks", en="_h_en")
+        ).alias("quality"),
         *[F.expr(expr).alias(name) for name, expr in t.items()],
         F.expr(textstats.fingerprint_sql("text")).alias("fingerprint"),
     )

@@ -51,9 +51,16 @@ def corpus_clean(
     # hash), materialized once: `base` feeds the quality projection, the
     # exact-dup census and its join-back, and the final assembly — unshared,
     # each consumer re-scans the corpus and re-hashes every document.
-    base = docs.select(
+    # Tokenization staged (r7): inlined, the regex-split token expression
+    # appears ~5x inside the quality score and HOF lambdas defeat
+    # subexpression elimination (the _text_stats_select discipline).
+    from grepai_spark.dedup import tokens_sql
+
+    base = docs.withColumn("_cc_toks", F.expr(tokens_sql("text"))).select(
         "doc_id",
-        F.round(F.expr(quality_score_sql("text")), 6).alias("quality"),
+        F.round(
+            F.expr(quality_score_sql("text", toks="_cc_toks")), 6
+        ).alias("quality"),
         F.sha2(F.col("text"), 256).alias("h"),
     )
     if materialize:

@@ -221,32 +221,6 @@ def _bucket_pairs(
     )
 
 
-def _bucket_pair_counts(
-    posting: DataFrame, key: str, id_col: str
-) -> DataFrame:
-    """(a_id, b_id, shared): number of buckets each pair co-occurs in.
-
-    Same one-pass bucket expansion as _bucket_pairs but keeping multiplicity
-    (used by count-based Jaccard). Buckets here are already bounded by the
-    caller's df_cap filter, so no extra cap is applied — pair counts stay
-    exact."""
-    grp = (
-        posting.groupBy(key)
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    pairs = F.expr(
-        "filter(flatten(transform(ids, x -> transform(ids,"
-        " y -> named_struct('a_id', x, 'b_id', y)))), p -> p.a_id < p.b_id)"
-    )
-    return (
-        grp.select(F.explode(pairs).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-    )
-
-
 def _verified_pairs(
     cand: DataFrame, sh: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
@@ -316,8 +290,34 @@ def ngram_jaccard_pairs(
         .select("g")
     )
     p2 = posting.join(non_hub, "g")
+    # Materialize the hub-FILTERED posting once too (r7): p2 feeds three
+    # consumers (pair counts + both sides of the size join), and an
+    # unshared p2 subtree re-ran the non_hub census and the hub join per
+    # consumer — the before-plan carried the non_hub aggregate and the
+    # filter join 3x each (24 exchanges total). Same two regimes as the
+    # posting list: staged to storage at corpus scale, localCheckpoint
+    # in-session.
+    if catalog is not None:
+        catalog.overwrite(posting_table + "_filtered", p2)
+        p2 = catalog.read(posting_table + "_filtered")
+    elif materialize:
+        p2 = p2.localCheckpoint(eager=True)
     sizes = p2.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    shared = _bucket_pair_counts(p2, "g", id_col)
+    # Pair counts via a plain self-equi-join on the MATERIALIZED filtered
+    # posting (r7): the one-pass bucket expansion existed to avoid
+    # re-executing the posting producer twice, but with p2 materialized the
+    # join reads storage/blocks twice for free and stays entirely inside
+    # whole-stage codegen — the ObjectHashAggregate + interpreted nested
+    # transform() of _bucket_pair_counts was 1.8 s of the sf0.1 wall vs
+    # 0.54 s for this join at identical candidate volume (1.27M pairs).
+    pa = p2.select("g", F.col(id_col).alias("a_id"))
+    pb = p2.select("g", F.col(id_col).alias("b_id"))
+    shared = (
+        pa.join(pb, "g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
     sa = sizes.select(
         F.col(id_col).alias("a_id"), F.col("n_sh").alias("na")
     )
@@ -453,35 +453,31 @@ def simhash_pairs(
     banded = sig.select(
         F.col(id_col), "sig", F.explode(F.array(*keys)).alias("bk")
     )
-    # one-pass bucket pair expansion carrying signatures (see _bucket_pairs);
-    # structs sort by doc id first, so the cap is the same deterministic
-    # first-`cap`-ids rule as everywhere else.
-    grp = (
-        banded.groupBy("bk")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_set(
-                        F.struct(
-                            F.col(id_col).alias("doc"), F.col("sig").alias("s")
-                        )
-                    )
-                ),
-                1,
-                DF_CAP,
-            ).alias("ms")
-        )
-        .where(F.size("ms") >= 2)
+    # Capped-bucket pairs via window cap + codegen self-join (r7): the
+    # previous one-pass collect_set(struct) expansion paid an
+    # ObjectHashAggregate plus an interpreted nested transform() per bucket
+    # — the same HOF tax the ngram pair counts dropped. (bk, doc) is unique
+    # (band tags partition the key space) and docs carry one sig each, so
+    # row_number ordered by doc id keeps exactly the members the sorted
+    # struct slice kept. The capped table is materialized once for both
+    # join sides.
+    w = Window.partitionBy("bk").orderBy(id_col)
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= DF_CAP)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
     )
-    pairs = F.expr(
-        "filter(flatten(transform(ms, x -> transform(ms, y -> named_struct("
-        "'a_id', x.doc, 'b_id', y.doc, 'sig_a', x.s, 'sig_b', y.s)))),"
-        " p -> p.a_id < p.b_id)"
+    a = capped.select(
+        "bk", F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a")
+    )
+    b = capped.select(
+        "bk", F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b")
     )
     ham = F.expr(hamming_sql("sig_a", "sig_b"))
     return (
-        grp.select(F.explode(pairs).alias("p"))
-        .select("p.a_id", "p.b_id", "p.sig_a", "p.sig_b")
+        a.join(b, "bk")
+        .where(F.col("a_id") < F.col("b_id"))
         .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])

@@ -47,18 +47,31 @@ def _hits_sql(toks: str, words: list[str], dialect: str) -> str:
     return f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
 
 
-def lang_scores_sql(col: str, dialect: str = "spark") -> dict[str, str]:
-    toks = tokens_sql(col, dialect)
+def lang_scores_sql(
+    col: str, dialect: str = "spark", toks: str | None = None
+) -> dict[str, str]:
+    """`toks` (r7): an already-bound token-array column name — hot Spark
+    paths stage the tokenization once per row and pass its column here,
+    because Catalyst cannot hoist subexpressions out of higher-order-
+    function lambdas (the shingles_from_tokens_sql lesson). Defaults inline
+    the split, which is what the (frozen) oracle generators emit."""
+    toks = toks or tokens_sql(col, dialect)
     return {
         lang: _hits_sql(toks, words, dialect)
         for lang, words in LANG_STOPWORDS.items()
     }
 
 
-def lang_pred_sql(col: str, dialect: str = "spark") -> str:
+def lang_pred_sql(
+    col: str,
+    dialect: str = "spark",
+    scores: dict[str, str] | None = None,
+) -> str:
     """argmax over the per-language stopword-hit scores with the fixed
-    LANG_ORDER tie-break; all-zero scores fall back to 'und'."""
-    s = lang_scores_sql(col, dialect)
+    LANG_ORDER tie-break; all-zero scores fall back to 'und'. `scores`
+    (r7): pre-staged per-language hit columns — the inline default embeds
+    each score expression ~4x in the comparison chain."""
+    s = scores or lang_scores_sql(col, dialect)
     first = LANG_ORDER[0]
     any_hit = " + ".join(f"({s[lang]})" for lang in LANG_ORDER)
     branches = []
@@ -72,10 +85,17 @@ def lang_pred_sql(col: str, dialect: str = "spark") -> str:
     return f"CASE WHEN ({any_hit}) = 0 THEN 'und' ELSE CASE {chain} ELSE '{LANG_ORDER[-1]}' END END"
 
 
-def quality_sql(col: str, dialect: str = "spark") -> dict[str, str]:
-    """Per-document quality metrics, identical SQL semantics per dialect."""
-    toks = tokens_sql(col, dialect)
-    en = _hits_sql(toks, LANG_STOPWORDS["en"], dialect)
+def quality_sql(
+    col: str,
+    dialect: str = "spark",
+    toks: str | None = None,
+    en: str | None = None,
+) -> dict[str, str]:
+    """Per-document quality metrics, identical SQL semantics per dialect.
+    `toks` / `en` (r7): pre-staged token-array / english-hit columns for
+    hot Spark paths (see lang_scores_sql)."""
+    toks = toks or tokens_sql(col, dialect)
+    en = en or _hits_sql(toks, LANG_STOPWORDS["en"], dialect)
     if dialect == "spark":
         n_tok = f"size({toks})"
         alpha = f"length(regexp_replace(lower({col}), '[^a-z]', ''))"
@@ -107,11 +127,16 @@ def quality_sql(col: str, dialect: str = "spark") -> dict[str, str]:
     }
 
 
-def quality_score_sql(col: str, dialect: str = "spark") -> str:
+def quality_score_sql(
+    col: str,
+    dialect: str = "spark",
+    toks: str | None = None,
+    en: str | None = None,
+) -> str:
     """Scalar [0,1] quality score: penalize empty/short docs, reward
     alphabetic content and a sane stopword rate. Fixed linear blend —
-    deterministic and cheap (single pass)."""
-    q = quality_sql(col, dialect)
+    deterministic and cheap (single pass). `toks`/`en` as in quality_sql."""
+    q = quality_sql(col, dialect, toks=toks, en=en)
     len_term = (
         f"CASE WHEN {q['n_tokens']} >= 20 THEN 1.0"
         f" ELSE CAST({q['n_tokens']} AS DOUBLE) / 20 END"
