@@ -333,20 +333,23 @@ def _q_drift_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W3 drift-gated re-placement (ref rpg/evolver.go:179-231): "old" state =
     # mentions from even turns only, "new" = all turns — a deterministic
     # incremental-update stand-in the oracle reproduces.
-    from grepai_spark.drift import drift_gated_placements
-
     # Detection is per-turn, so mentions(even turns) == mentions(all
     # turns) filtered to even — ONE detector + labeling pass materialized
     # here feeds both sides and all four aggregations (the stored-table
     # shape production has anyway; see drift_gated_placements'
-    # materialize_inputs note).
-    from grepai_spark.drift import annotate_mentions
+    # materialize_inputs note). r7: old/new are parity slices of one
+    # table, so the per-side aggregations fuse into conditional aggregates
+    # (drift_gated_placements_parity — row-equal to the general path,
+    # locked by test_drift).
+    from grepai_spark.drift import (
+        annotate_mentions,
+        drift_gated_placements_parity,
+    )
 
     m = annotate_mentions(_q_mentions(spark, sf_dir)).localCheckpoint(
         eager=True
     )
-    old = m.where(F.col("turn_idx") % 2 == 0)
-    return drift_gated_placements(old, m, materialize_inputs=False)
+    return drift_gated_placements_parity(m)
 
 
 def _q_conv_tool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

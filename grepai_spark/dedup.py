@@ -162,17 +162,20 @@ def dedup_exact(
     """
     order_cols = order_cols or ["conv_id", "turn_idx"]
     h = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
-    w = Window.partitionBy("content_hash")
-    wo = w.orderBy(*[F.asc(c) for c in order_cols])
-    return (
-        h.withColumn("n_copies", F.count("*").over(w))
-        .withColumn("_rn", F.row_number().over(wo))
-        .where((F.col("_rn") == 1) & (F.col("n_copies") > 1))
-        .select(
-            "content_hash",
-            F.col("n_copies").cast("long").alias("n_copies"),
-            *[F.col(c).alias(f"keep_{c}") for c in order_cols],
-        )
+    # r7: one map-side-combinable aggregate replaces the two window
+    # functions (count + row_number sort) — the shuffle now carries one
+    # partial row per distinct hash per map task instead of every turn row,
+    # and no per-partition sort runs. min(struct(order_cols)) is exactly
+    # the row_number-1 keeper: struct comparison is lexicographic in field
+    # order, matching the window's (asc, asc) ordering.
+    agg = h.groupBy("content_hash").agg(
+        F.count("*").alias("n_copies"),
+        F.min(F.struct(*[F.col(c) for c in order_cols])).alias("_keep"),
+    )
+    return agg.where(F.col("n_copies") > 1).select(
+        "content_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        *[F.col(f"_keep.{c}").alias(f"keep_{c}") for c in order_cols],
     )
 
 

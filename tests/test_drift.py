@@ -57,3 +57,33 @@ def test_new_conversation_always_placed(spark):
     }
     assert got["c9"] == ("merge", True)
     assert got["c1"] == ("fetch", False)
+
+
+def test_parity_path_matches_general_path(spark):
+    """The r7 fused parity path (old = even-turn slice of new, one
+    conditional aggregate per side-pair) must emit exactly the rows of the
+    general two-sided operator on the sf0.001 corpus."""
+    from pyspark.sql import functions as F
+
+    from grepai_spark.drift import (
+        annotate_mentions,
+        drift_gated_placements_parity,
+    )
+    from grepai_spark.extract import detect_mentions
+    from grepai_spark.synth import alias_dict_df, load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    m = annotate_mentions(
+        detect_mentions(t, alias_dict_df(spark))
+    ).localCheckpoint(eager=True)
+    old = m.where(F.col("turn_idx") % 2 == 0)
+    general = {
+        tuple(r)
+        for r in drift_gated_placements(
+            old, m, materialize_inputs=False
+        ).collect()
+    }
+    fused = {
+        tuple(r) for r in drift_gated_placements_parity(m).collect()
+    }
+    assert fused == general and len(fused) > 0
