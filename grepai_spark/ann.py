@@ -169,10 +169,18 @@ def cosine_vs_query_sql(
     vec_col: str, query_vec: list[float], dialect: str = "spark"
 ) -> str:
     """cosine(vec, q) with the norms spelled out (corpus vectors are NOT
-    assumed normalized, unlike the turn encoder's output)."""
+    assumed normalized, unlike the turn encoder's output).
+
+    The query dot is unrolled; the self-norm keeps the fold (r7): per-query
+    expression ANALYSIS grows with tree size and the topk queries run over
+    partition-pruned row counts where a second ~190-node unrolled tree cost
+    more per call than the interpreted fold did per row (measured 0.194 s
+    unroll-both vs 0.130 s mixed vs 0.112 s fold-both on the sf0.1 LSH
+    store). Pair-join paths, whose row counts are quadratic, unroll both
+    sides (pair_dot_sql)."""
     d = dot_sql(vec_col, query_vec, dialect)
     qn = sum(x * x for x in query_vec) ** 0.5
-    sq = dot_sql_self(vec_col, dialect, dim=len(query_vec))
+    sq = dot_sql_self(vec_col, dialect)
     return f"({d}) / (sqrt({sq}) * CAST('{qn!r}' AS DOUBLE))"
 
 

@@ -420,15 +420,27 @@ def simhash_pairs(
     # flat projection, then 32 conditional sums in a map-side-combining agg —
     # never a per-bit rescan of the shingle array in an interpreted lambda.
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
+    # r7: the hex digest is parsed ONCE into four staged 32-bit integer
+    # blocks; each bit count is then an integer shift/mask sum instead of a
+    # per-bit substring + string compare (32 string ops per posting row
+    # before). digit >= '8' over 0-9a-f is exactly the nibble's top bit, so
+    # (block >> (4*(7-pos)+3)) & 1 reproduces the predicate bit-for-bit.
     hashed = posting.select(F.col(id_col), F.md5("g").alias("h"))
-    bit_sums = hashed.groupBy(id_col).agg(
+    blocks = [
+        F.conv(F.substring("h", 1 + 8 * k, 8), 16, 10)
+        .cast("bigint")
+        .alias(f"b{k}")
+        for k in range(bits // 8)
+    ]
+    hb = hashed.select(F.col(id_col), *blocks)
+    def _bit(j: int):
+        k, pos = (j - 1) // 8, (j - 1) % 8
+        return F.shiftright(F.col(f"b{k}"), 4 * (7 - pos) + 3).bitwiseAND(
+            F.lit(1)
+        )
+    bit_sums = hb.groupBy(id_col).agg(
         F.count("*").alias("n_sh"),
-        *[
-            F.sum(
-                F.when(F.substring("h", j, 1) >= "8", 1).otherwise(0)
-            ).alias(f"c{j}")
-            for j in range(1, bits + 1)
-        ],
+        *[F.sum(_bit(j)).alias(f"c{j}") for j in range(1, bits + 1)],
     )
     # integer signature (bit 1 = MSB) — see simhash_sql for why not a string
     bit_terms = [

@@ -84,8 +84,22 @@ def _py_pairs_from_buckets(
 
 
 def link_mentions_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
-    """mention rows -> + canonical_id via broadcast exact join on surface form."""
-    dim = F.broadcast(alias_dict.select("alias", "canonical_id").distinct())
+    """mention rows -> + canonical_id via broadcast exact join on surface form.
+
+    r7: for a collectable dictionary the (alias, canonical_id) dim is
+    deduped on the driver from the loaded-dimension rows — the .distinct()
+    was a shuffle job on every call just to dedupe the broadcast side."""
+    from grepai_spark.dimcache import cached_rows
+
+    rows = cached_rows(alias_dict)
+    if len(rows) <= SMALL_DICT_ROWS:
+        pairs = sorted({(r["alias"], r["canonical_id"]) for r in rows})
+        dim_df = mentions.sparkSession.createDataFrame(
+            pairs, "alias string, canonical_id string"
+        )
+    else:
+        dim_df = alias_dict.select("alias", "canonical_id").distinct()
+    dim = F.broadcast(dim_df)
     return mentions.join(dim, mentions["mention"] == dim["alias"], "left").drop(
         "alias"
     )
