@@ -413,6 +413,16 @@ def near_dup_cosine_pairs(
         .where(F.col("_rn") <= cell_cap)
         .drop("_rn")
     )
+    # Parallelism floor (r7): same guard as near_dup_lsh_pairs — the capped
+    # cell table is small enough that AQE coalesces the window's shuffle
+    # output to ~1 partition, serializing the pair join's O(candidate x dim)
+    # cosine verify into one task. The keyed repartition is exempt from AQE
+    # coalescing and a no-op at corpus scale (guard: input already wider
+    # than 2x cores).
+    spark = emb.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < 2 * cores:
+        emb = emb.repartition(2 * cores, cell_col)
     a = emb.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("a_id"),
