@@ -53,6 +53,20 @@ def get_spark(
         # small classes, not data; a long-lived serving session (the
         # reference's daemon) is exactly this steady state.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # Generated-METHOD size (r7 follow-up to the cache fix above): the
+        # default split threshold (1024 chars of source per method) leaves
+        # methods big enough that C2 JIT warmup runs tens of seconds of
+        # compile/deopt churn per query mix on slow-clock hosts — measured
+        # post-reboot on a 2.1 GHz box: near-dup LSH verify never left its
+        # interpreted phase inside the bench's 4 executions (min-of-passes
+        # 18.9 s vs a 0.8 s steady floor; ~28k JIT compilations / 115 s of
+        # accumulated compiler time per 6 passes, class loading flat, GC
+        # <14 s — so warmup, not caching or collection). Splitting at 256
+        # restores compile-friendly method sizes: full frozen-bench A/B on
+        # that host read 257k/254k turns/sec vs 238k unmitigated, with
+        # EVERY per-query wall improved (near-dup LSH 18.9 -> 2.2/2.3 s).
+        # Scale-independent: bounds generated-code method size, not data.
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size bounds how much text one Python UDF invocation
