@@ -208,23 +208,23 @@ def dot_sql_self(
 
 
 def pair_dot_sql(a: str, b: str, dim: int) -> str:
-    """Dot product of two array columns, unrolled for the expected width
-    (fold fallback for any other width — zip_with pads the shorter side, so
-    mismatched widths fold to NULL there and the guard keeps that path).
-    Same left-to-right association as the fold -> bit-identical."""
-    fold = (
+    """Dot product of two array columns as the zip_with/aggregate fold.
+
+    This site was unrolled to a dim-term codegen chain earlier in r7
+    (bit-identical: same left-to-right association) because the fold's
+    per-element interpreted evaluation dominated the 2M-pair verify. The
+    F5 method-split fix inverted that trade: with generated methods capped
+    at 256 chars the fold's steady state matches the unroll (0.9 vs 0.8 s
+    isolated), while the unroll's ~10x larger generated source is exactly
+    the C2 JIT-warmup surface F5 diagnosed — with it, 2 of 4 certified
+    bench sessions drew the verify at 5-6 s; fold-only drew 2.2-2.5 s in
+    every session. `dim` stays in the signature for call-site stability.
+    """
+    del dim
+    return (
         f"aggregate(zip_with(CAST({a} AS array<double>),"
         f" CAST({b} AS array<double>),"
         f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    parts = ["CAST(0.0 AS DOUBLE)"]
-    for i in range(dim):
-        xa = f"CAST(try_element_at({a}, {i + 1}) AS DOUBLE)"
-        xb = f"CAST(try_element_at({b}, {i + 1}) AS DOUBLE)"
-        parts.append(f" + {xa} * {xb}")
-    unrolled = "(" + "".join(parts) + ")"
-    return (
-        f"IF(size({a}) = {dim} AND size({b}) = {dim}, {unrolled}, {fold})"
     )
 
 
